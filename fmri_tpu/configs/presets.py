@@ -1,0 +1,154 @@
+"""Typed configuration tree for the TPU-native fMRI-reconstruction framework.
+
+Replaces the reference's plain-Python constant modules
+(``configs/models_config.py``, ``configs/gan_config.py``, ``configs/wae_config.py``,
+``configs/data_config.py``, ``configs/inference_config.py``) with frozen dataclasses
+and named presets.  The reference selects alternative resolutions by
+commenting/uncommenting blocks (``configs/models_config.py:12-31``) and suffers from
+duplicated keys where the last assignment wins (``models_config.py:9`` vs ``:21``);
+here every preset is explicit and immutable.
+
+Presets:
+  * ``RES64``  — image_size=64,  latent_dim=128 (``models_config.py:24-31``)
+  * ``RES100`` — image_size=100, latent_dim=512 (``models_config.py:13-21``, paper setting)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters (reference ``configs/models_config.py``)."""
+
+    image_size: int = 64
+    latent_dim: int = 128
+    # Conv geometry shared by encoder blocks / decoder blocks (models_config.py:3-5).
+    kernel_size: int = 5
+    stride: int = 2
+    padding: int = 2
+    # Channel progressions (models_config.py:8-10,21).
+    encoder_channels: Sequence[int] = (64, 128, 256)
+    decoder_channels: Sequence[int] = (256, 128, 64, 3)
+    discrim_channels: Sequence[int] = (32, 128, 256, 256)
+    # Fully-connected geometry (models_config.py:14-19,25-30).
+    fc_input: int = 8          # spatial size entering/leaving the FC bottleneck
+    fc_output: int = 1024
+    fc_input_gan: int = 8
+    fc_output_gan: int = 512
+    stride_gan: int = 1        # stride of the discriminator's first conv layer
+    # ``output_padding`` pattern for the three transposed-conv decoder blocks
+    # (models_config.py:20,31): True -> output_padding=1 (exact doubling).
+    output_pad_dec: Sequence[bool] = (True, True, True)
+    # Discriminator feature-matching tap index (gan_config.py:30 recon_level).
+    recon_level: int = 3
+    # Cognitive encoder input width: BOLD5000 padded-ROI voxel count
+    # (data_config.py:72).
+    num_voxels: int = 3620
+    cog_hidden: int = 1024     # CognitiveEncoder fc1 width (vae_gan.py:199)
+    wae_disc_hidden: int = 512  # WaeDiscriminator hidden width (vae_gan.py:505)
+
+    @property
+    def fc_flat(self) -> int:
+        return self.fc_input * self.fc_input * self.encoder_channels[-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input-pipeline parameters (reference ``configs/gan_config.py:26-28,78-80``)."""
+
+    image_crop: int = 375
+    image_size: int = 64
+    mean: Sequence[float] = (0.5, 0.5, 0.5)
+    std: Sequence[float] = (0.5, 0.5, 0.5)
+    max_shift: int = 5          # RandomShift amplitude (data_loader.py:187-217)
+    num_voxels: int = 3620
+    split_seed: int = 12345     # train/valid split seed (data_loader.py:495)
+    data_split: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer hyper-parameters (reference ``configs/gan_config.py`` /
+    ``configs/wae_config.py``)."""
+
+    batch_size: int = 64
+    learning_rate: float = 1e-4
+    n_epochs: int = 200
+    # RMSprop family (train_vgan_stage1.py:275-283).
+    rms_decay: float = 0.9
+    rms_eps: float = 1e-8
+    decay_lr: float = 0.98          # ExponentialLR gamma per epoch
+    # Adam family for WAE (train_wae_stage1.py:221-224).
+    adam_b1: float = 0.5
+    adam_b2: float = 0.999
+    step_size: int = 30             # StepLR period in epochs (wae_config.py:22)
+    step_gamma: float = 0.5         # StepLR gamma (wae_config.py:23 decay_lr)
+    # Equilibrium/margin adaptive game (gan_config.py:36-40).
+    margin: float = 0.35
+    equilibrium: float = 0.68
+    decay_margin: float = 1.0
+    decay_equilibrium: float = 1.0
+    lambda_mse: float = 1e-6
+    decay_mse: float = 1.0
+    beta: float = 1.0               # beta-VAE weight (gan_config.py:41)
+    wae_lambda: float = 10.0        # WAE adversarial penalty weight (train_wae_stage1.py:281)
+    wae_sigma: float = 0.5          # WAE prior scale N(0, 0.5^2) (train_wae_stage1.py:276)
+    grad_clip: float | None = None  # elementwise grad clamp; stages II/III use 1.0
+    seed: int = 8                   # numpy/torch seed parity (train_vgan_stage1.py:27-29)
+    ckpt_every: int = 5             # checkpoint cadence (train_vgan_stage1.py:596)
+    eval_every: int = 1
+    patience: int = 0               # early stopping; 0 disables (gan_config.py:15)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def _res64() -> Config:
+    return Config(
+        model=ModelConfig(
+            image_size=64, latent_dim=128, fc_input=8, fc_output=1024,
+            fc_input_gan=8, fc_output_gan=512, stride_gan=1,
+            output_pad_dec=(True, True, True),
+        ),
+        data=DataConfig(image_size=64),
+        train=TrainConfig(batch_size=64, n_epochs=200),
+    )
+
+
+def _res100() -> Config:
+    return Config(
+        model=ModelConfig(
+            image_size=100, latent_dim=512, fc_input=13, fc_output=1024,
+            fc_input_gan=7, fc_output_gan=256, stride_gan=2,
+            output_pad_dec=(False, True, True),
+        ),
+        data=DataConfig(image_size=100),
+        train=TrainConfig(batch_size=100, n_epochs=400),
+    )
+
+
+RES64: Config = _res64()
+RES100: Config = _res100()
+
+PRESETS = {"res64": RES64, "res100": RES100}
+
+
+def get_config(name: str = "res64") -> Config:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -1,0 +1,5 @@
+from fmri_tpu.losses.gan_losses import (  # noqa: F401
+    LOG_EPS, HeadLosses, VaeGanTerms, combine_mode, equilibrium_gate,
+    vaegan_terms, wae_disc_losses, wae_penalty_mean, wae_penalty_sum,
+    wae_recon_mean, wae_recon_sum,
+)

@@ -1,0 +1,77 @@
+"""Pluggable Inception-Score classifier.
+
+The reference computes IS with torchvision's pretrained Inception-v3
+(``train/train_utils.py:819-881``).  Pretrained Inception weights are not
+shippable inside this offline build, so the scorer is pluggable:
+
+  * If ``FMRI_TPU_INCEPTION_NPZ`` points at an ``.npz`` of InceptionV3
+    parameters exported for :class:`InceptionV3Stub`, those are used.
+  * Otherwise a deterministic fixed-seed conv classifier (``ProxyClassifier``)
+    produces class probabilities.  The resulting number is a *proxy IS* —
+    self-consistent across runs of this framework (useful as a relative
+    regression signal) but not comparable to published Inception-v3 IS values.
+    ``evaluate()`` labels it ``is_proxy`` accordingly.
+
+The IS formula itself (softmax entropy over splits) is exact — see
+``fmri_tpu.metrics.quality.inception_score_from_probs``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fmri_tpu.metrics.quality import inception_score_from_probs
+
+
+class ProxyClassifier(nn.Module):
+    """Small fixed-seed conv net standing in for Inception-v3's 1000-way head."""
+
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, H, W, 3] in [-1, 1]
+        for feats in (32, 64, 128):
+            x = nn.Conv(feats, (3, 3), strides=(2, 2))(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(self.num_classes)(x)
+        return nn.softmax(x, axis=-1)
+
+
+@lru_cache(maxsize=1)
+def _proxy():
+    model = ProxyClassifier()
+    variables = model.init(jax.random.key(1234), jnp.zeros((1, 75, 75, 3)))
+    fn = jax.jit(lambda imgs: model.apply(variables, imgs))
+    return fn
+
+
+def classify(images: jax.Array) -> np.ndarray:
+    """images: [B, H, W, 3] in [-1, 1] -> probs [B, 1000]."""
+    npz = os.environ.get("FMRI_TPU_INCEPTION_NPZ")
+    if npz and os.path.exists(npz):  # pragma: no cover - needs external weights
+        from fmri_tpu.metrics.inception_v3 import classify_with_weights
+        return classify_with_weights(npz, images)
+    # Proxy path: resize to a fixed 75x75 (the reference upsamples to 299
+    # for Inception; the proxy net is resolution-agnostic, a fixed size keeps
+    # compilation static).
+    imgs = jax.image.resize(images, (images.shape[0], 75, 75, 3), "bilinear")
+    return np.asarray(_proxy()(imgs))
+
+
+def inception_score(images: jax.Array, splits: int = 1) -> float:
+    """Inception Score of images (NHWC, [-1, 1]); proxy-backed unless real
+    weights are configured (see module docstring)."""
+    probs = classify(images)
+    return inception_score_from_probs(probs, splits=splits)
+
+
+def is_proxy() -> bool:
+    npz = os.environ.get("FMRI_TPU_INCEPTION_NPZ")
+    return not (npz and os.path.exists(npz))

@@ -1,0 +1,247 @@
+"""Flax modules for the Dual-VAE/GAN and WAE/GAN model families.
+
+TPU-native re-design of the reference architectures in
+``/root/reference/models/vae_gan.py`` (cited per-module below).  Differences by
+design, not omission:
+
+  * Layout is NHWC (channels ride the TPU lane dimension) instead of NCHW.
+  * The discriminator computes the feature-matching tap and the GAN score in a
+    single pass over the 3-way-concat batch instead of the reference's two full
+    passes (``vae_gan.py:284-285``) — identical math, half the FLOPs, and the
+    BN running-stat EMA ticks once per step instead of twice (running stats are
+    never consumed: the discriminator is not used at eval time).
+  * BatchNorm ``momentum=0.9`` in torch convention (new-batch weight) equals
+    Flax ``momentum=0.1`` (running-average decay); epsilon 1e-5 matches torch.
+  * Parameter init matches ``VaeGan.init_parameters`` (``vae_gan.py:252-264``):
+    weights ~ U(-a, a) with a = 1/sqrt(3*fan_in), biases zero.  The standalone
+    ``WaeDiscriminator`` init N(0, 0.01) (``vae_gan.py:522-525``) is kept for
+    the cognitive WAE stages where no global re-init runs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fmri_tpu.configs.presets import ModelConfig
+from fmri_tpu.ops.conv import conv2d, conv2d_transpose
+
+# torch BatchNorm(momentum=0.9) => running = 0.1*running + 0.9*batch
+# flax BatchNorm(momentum=m)    => running = m*running + (1-m)*batch
+BN_MOMENTUM = 0.1
+BN_EPS = 1e-5
+
+# VaeGan.init_parameters (vae_gan.py:258-262): U(-a, a), a = 1/sqrt(3*fan_in).
+# variance_scaling uniform has variance scale/fan_in = a^2/3 => scale = 1/9.
+ref_uniform_init = nn.initializers.variance_scaling(1.0 / 9.0, "fan_in", "uniform")
+# WaeDiscriminator ctor init (vae_gan.py:522-525): N(0, 0.0099999).
+wae_normal_init = nn.initializers.normal(stddev=0.01)
+
+
+def _bn(momentum: float = BN_MOMENTUM) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=False, momentum=momentum, epsilon=BN_EPS)
+
+
+class EncoderBlock(nn.Module):
+    """Conv(k5, s2, p2, no bias) + BN + ReLU with optional pre-BN tap.
+
+    Reference ``EncoderBlock`` (``vae_gan.py:11-35``); the ``out=True`` tap at
+    ``:26-30`` feeds the discriminator's feature-matching loss.
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    padding: int = 2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, tap: bool = False):
+        kernel = self.param(
+            "kernel", ref_uniform_init,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+        )
+        y = conv2d(x, kernel, stride=self.stride, padding=self.padding)
+        pre_bn = y
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(y)
+        y = nn.relu(y)
+        if tap:
+            return y, pre_bn
+        return y
+
+
+class DecoderBlock(nn.Module):
+    """ConvTranspose(k5, s2, p2, no bias, output_padding) + BN + ReLU.
+
+    Reference ``DecoderBlock`` (``vae_gan.py:38-60``); ``out=True`` selects
+    ``output_padding=1`` for exact spatial doubling.
+    """
+
+    features: int
+    output_pad: bool = False
+    kernel_size: int = 5
+    stride: int = 2
+    padding: int = 2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        kernel = self.param(
+            "kernel", ref_uniform_init,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+        )
+        y = conv2d_transpose(
+            x, kernel, stride=self.stride, padding=self.padding,
+            output_padding=1 if self.output_pad else 0,
+        )
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(y)
+        return nn.relu(y)
+
+
+class VisualEncoder(nn.Module):
+    """Image -> (mu, logvar).  Reference ``Encoder`` (``vae_gan.py:63-96``)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        c = self.cfg
+        for feats in c.encoder_channels:
+            x = EncoderBlock(feats, c.kernel_size, c.stride, c.padding)(x, train=train)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(c.fc_output, use_bias=False, kernel_init=ref_uniform_init)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x)
+        x = nn.relu(x)
+        mu = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
+        logvar = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
+        return mu, logvar
+
+
+class CognitiveEncoder(nn.Module):
+    """fMRI ROI voxels -> (mu, logvar).  Reference (``vae_gan.py:190-232``).
+
+    The 3620-voxel input axis is the natural tensor-parallel shard axis
+    (see ``fmri_tpu.parallel.mesh``); ``fc1`` is a single [num_voxels, 1024]
+    matmul that maps cleanly onto the MXU.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, v, *, train: bool):
+        c = self.cfg
+        x = nn.Dense(c.cog_hidden, use_bias=False, kernel_init=ref_uniform_init,
+                     name="fc1")(v)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x)
+        x = nn.relu(x)
+        mu = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
+        logvar = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
+        return mu, logvar
+
+
+class Decoder(nn.Module):
+    """Latent -> image in [-1, 1].  Reference ``Decoder`` (``vae_gan.py:99-132``).
+
+    The single shared generator: used by every composite in both families.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z, *, train: bool):
+        c = self.cfg
+        size0 = c.encoder_channels[-1]
+        x = nn.Dense(c.fc_input * c.fc_input * size0, use_bias=False,
+                     kernel_init=ref_uniform_init)(z)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x)
+        x = nn.relu(x)
+        x = x.reshape((x.shape[0], c.fc_input, c.fc_input, size0))
+        # Blocks: size0 -> size0 -> decoder_channels[1] -> decoder_channels[2]
+        # (vae_gan.py:112-116), then final 3-channel conv + tanh (:118-121).
+        feats = (size0, c.decoder_channels[1], c.decoder_channels[2])
+        for f, op in zip(feats, c.output_pad_dec):
+            x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
+                             stride=c.stride, padding=c.padding)(x, train=train)
+        kernel = self.param(
+            "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
+        bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
+        x = conv2d(x, kernel, stride=1, padding=2) + bias
+        return jnp.tanh(x)
+
+
+class ImageDiscriminator(nn.Module):
+    """Image discriminator with feature-matching tap.
+
+    Reference ``Discriminator`` (``vae_gan.py:135-187``).  ``__call__`` runs the
+    3-way-concat batch once and returns ``(features, score)`` where ``features``
+    is the flattened pre-BN conv output of layer ``recon_level`` (the 'REC'
+    mode output, ``:167-173``) and ``score`` the sigmoid real/fake probability
+    (the 'GAN' mode output, ``:155-161,183``).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        c = self.cfg
+        # Layer 0: conv(k5, stride_gan, p2, bias) + ReLU (vae_gan.py:145-147).
+        kernel = self.param(
+            "in_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.discrim_channels[0]))
+        bias = self.param("in_bias", nn.initializers.zeros, (c.discrim_channels[0],))
+        x = nn.relu(conv2d(x, kernel, stride=c.stride_gan, padding=2) + bias)
+        features = None
+        for i, feats in enumerate(c.discrim_channels[1:], start=1):
+            block = EncoderBlock(feats, c.kernel_size, c.stride, c.padding)
+            if i == c.recon_level:
+                x, pre_bn = block(x, train=train, tap=True)
+                features = pre_bn.reshape((pre_bn.shape[0], -1))
+            else:
+                x = block(x, train=train)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(c.fc_output_gan, use_bias=False, kernel_init=ref_uniform_init)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dense(1, kernel_init=ref_uniform_init)(x)
+        score = nn.sigmoid(x)
+        return features, score
+
+
+class LatentDiscriminator(nn.Module):
+    """Latent-space MLP discriminator for the WAE family.
+
+    Reference ``WaeDiscriminator`` (``vae_gan.py:499-529``):
+    4x[Dense(512)+ReLU] -> Dense(1) -> sigmoid.  ``init_scheme`` selects between
+    the ctor init N(0, 0.01) and the global uniform re-init applied inside
+    ``WaeGan.init_parameters`` (``vae_gan.py:452-464``).
+    """
+
+    cfg: ModelConfig
+    init_scheme: str = "normal"  # "normal" (ctor) | "uniform" (WaeGan re-init)
+
+    @nn.compact
+    def __call__(self, z):
+        k_init = wae_normal_init if self.init_scheme == "normal" else ref_uniform_init
+        x = z
+        for _ in range(4):
+            x = nn.relu(nn.Dense(self.cfg.wae_disc_hidden, kernel_init=k_init)(x))
+        x = nn.Dense(1, kernel_init=k_init)(x)
+        return nn.sigmoid(x)
+
+
+def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Array:
+    """z = mu + eps * exp(logvar/2), eps ~ N(0, I)  (``vae_gan.py:266-269``)."""
+    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    return mu + eps * jnp.exp(0.5 * logvar)

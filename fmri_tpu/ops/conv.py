@@ -1,0 +1,76 @@
+"""Low-level convolution primitives, NHWC / TPU-native layouts.
+
+The reference's conv geometry (PyTorch ``nn.Conv2d`` / ``nn.ConvTranspose2d``,
+``models/vae_gan.py:18,46-53``) is reproduced as explicit ``lax`` calls so the
+layout is NHWC end-to-end (TPU-friendly: the channel axis rides the 128-lane
+dimension) instead of the reference's NCHW.
+
+Transposed convolution is expressed as an input-dilated convolution — the exact
+gradient-of-conv formulation — so XLA lowers it straight onto the MXU with no
+scatter.  PyTorch's ``ConvTranspose2d(k, s, p, output_padding=op)`` produces
+``(in-1)*s - 2p + k + op`` output pixels; the equivalent dilated conv uses
+``lhs_dilation=s`` and per-edge padding ``(k-1-p, k-1-p+op)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# NHWC activations, HWIO kernels.
+DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
+    """Standard strided conv, matching ``nn.Conv2d(k, s, p)`` shapes.
+
+    x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout].
+    """
+    return lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=DIMSPEC,
+    )
+
+
+def conv2d_transpose(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: int = 2,
+    padding: int = 2,
+    output_padding: int = 0,
+) -> jax.Array:
+    """Transposed conv matching ``nn.ConvTranspose2d`` output geometry
+    (``models/vae_gan.py:46-53``): out = (in-1)*stride - 2*padding + k + output_padding.
+
+    Weights are trained in this parameterization from scratch (we never load
+    torch checkpoints), so no kernel flip is applied.
+    """
+    k = kernel.shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    return lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=[(lo, hi), (lo, hi)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=DIMSPEC,
+    )
+
+
+def depthwise_conv2d(x: jax.Array, kernel: jax.Array, padding: int = 0) -> jax.Array:
+    """Depthwise conv (feature_group_count = channels); used by windowed SSIM
+    (reference ``train/train_utils.py:390-401`` uses grouped ``F.conv2d``).
+
+    x: [B, H, W, C]; kernel: [kh, kw, 1, C].
+    """
+    c = x.shape[-1]
+    return lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=DIMSPEC,
+        feature_group_count=c,
+    )
