@@ -1,3 +1,4 @@
 from fmri_tpu.configs.presets import (  # noqa: F401
-    Config, DataConfig, ModelConfig, TrainConfig, PRESETS, RES64, RES100, get_config,
+    Config, DataConfig, ModelConfig, TrainConfig, PRESETS, RES64, RES100, TINY,
+    get_config,
 )

@@ -141,10 +141,28 @@ def _res100() -> Config:
     )
 
 
+def _tiny() -> Config:
+    """Small config for tests/smoke runs (16px; the toy-dataset analogue of the
+    reference's MNIST smoke path, ``train_vgan_stage1.py:198-221``)."""
+    return Config(
+        model=ModelConfig(
+            image_size=16, latent_dim=16, fc_input=2, fc_output=32,
+            fc_input_gan=2, fc_output_gan=32, stride_gan=1,
+            encoder_channels=(8, 16, 16), decoder_channels=(16, 8, 8, 3),
+            discrim_channels=(8, 16, 16, 16),
+            output_pad_dec=(True, True, True),
+            num_voxels=128, cog_hidden=32, wae_disc_hidden=32,
+        ),
+        data=DataConfig(image_size=16, image_crop=20, num_voxels=128),
+        train=TrainConfig(batch_size=8, n_epochs=2),
+    )
+
+
 RES64: Config = _res64()
 RES100: Config = _res100()
+TINY: Config = _tiny()
 
-PRESETS = {"res64": RES64, "res100": RES100}
+PRESETS = {"res64": RES64, "res100": RES100, "tiny": TINY}
 
 
 def get_config(name: str = "res64") -> Config:

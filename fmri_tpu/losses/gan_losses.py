@@ -89,22 +89,28 @@ def combine_mode(terms: VaeGanTerms, mode: str, *, lambda_mse: float,
     return HeadLosses(loss_enc, loss_dec, loss_dis, nle_sum)
 
 
-def equilibrium_gate(terms: VaeGanTerms, equilibrium: jax.Array, margin: jax.Array):
+def equilibrium_gate(terms: VaeGanTerms, equilibrium: jax.Array, margin: jax.Array,
+                     init_dec: bool = True, init_dis: bool = True):
     """Adaptive G/D balancing (``train_vgan_stage1.py:396-404``) as traced booleans.
 
     Returns ``(train_dec, train_dis)`` masks suitable for branchless updates:
       * skip D if mean bce_orig or bce_pred < eq - margin,
       * skip G if either > eq + margin,
-      * if both would be skipped, train both.
+      * if both end up skipped, train both.
+
+    ``init_dec`` / ``init_dis`` are the pre-gate mode defaults: e.g. 'vae' mode
+    sets ``train_dis = False`` *before* the gate runs
+    (``train_vgan_stage1.py:388``), which the both-off rule can then override —
+    that quirk is reproduced faithfully.
     """
     m_orig = jnp.mean(terms.bce_dis_original)
     m_pred = jnp.mean(terms.bce_dis_predicted)
     dis_low = (m_orig < equilibrium - margin) | (m_pred < equilibrium - margin)
     dec_high = (m_orig > equilibrium + margin) | (m_pred > equilibrium + margin)
-    both_off = dis_low & dec_high
-    train_dis = (~dis_low) | both_off
-    train_dec = (~dec_high) | both_off
-    return train_dec, train_dis
+    train_dis = jnp.logical_and(init_dis, ~dis_low)
+    train_dec = jnp.logical_and(init_dec, ~dec_high)
+    both_off = jnp.logical_and(~train_dis, ~train_dec)
+    return train_dec | both_off, train_dis | both_off
 
 
 # --------------------------- WAE family ---------------------------

@@ -1,0 +1,149 @@
+"""Device-mesh and sharding layer — the framework's distributed backend.
+
+The reference has **no** parallelism or communication backend (single CUDA
+device chosen by a config string, ``configs/gan_config.py:11-13``; the
+``device2``/``device3`` entries are declared but never used for compute,
+``train_vgan_stage1.py:118-119``).  This module is the TPU-native first-class
+replacement (SURVEY.md §2.8/§5.8):
+
+  * a ``jax.sharding.Mesh`` over the slice with a ``data`` axis (batch/SPMD)
+    and an optional ``model`` axis (voxel-dimension tensor parallelism for the
+    CognitiveEncoder's [num_voxels, hidden] matmul — the natural shard axis if
+    future configs use full-brain voxel counts, SURVEY.md §5.7);
+  * sharding constructors for batches (data-parallel), replicated params, and
+    voxel-sharded cognitive params;
+  * the train steps themselves are ordinary jitted functions — placing the
+    inputs with these shardings makes XLA's SPMD partitioner emit the gradient
+    all-reduces and BatchNorm cross-replica reductions over ICI automatically
+    ("computation follows data"), with no hand-written collectives;
+  * multi-host entry via ``jax.distributed.initialize`` (DCN between hosts).
+
+Tested on an 8-virtual-device CPU mesh (tests/test_mesh.py); the driver's
+``dryrun_multichip`` exercises the same path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up over DCN; no-op for single-process runs."""
+    if coordinator is not None:  # pragma: no cover - needs multi-host env
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``data=None`` uses every device not consumed by the model axis.  Axis
+    layout puts ``model`` innermost so model-parallel collectives ride
+    nearest-neighbour ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    grid = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, shard_features: bool = False):
+    """Batch axis over ``data``; optionally the trailing (feature/voxel) axis
+    over ``model`` (for voxel-TP inputs)."""
+    spec = [DATA_AXIS] + [None] * (ndim - 1)
+    if shard_features and ndim >= 2:
+        spec[-1] = MODEL_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, voxel_tp: bool = False) -> Any:
+    """Place a host batch (array or {'fmri','image'} dict) onto the mesh,
+    batch-dim over ``data``; with ``voxel_tp`` the fMRI voxel axis additionally
+    shards over ``model``."""
+
+    def place(path, x):
+        is_fmri = any(getattr(k, "key", None) == "fmri" for k in path)
+        return jax.device_put(
+            x, batch_sharding(mesh, np.ndim(x), shard_features=voxel_tp and is_fmri))
+
+    return jax.tree_util.tree_map_with_path(place, batch)
+
+
+def cognitive_param_specs(params: Any) -> Any:
+    """PartitionSpecs for a cognitive-encoder group: ``fc1`` kernel sharded
+    [voxels -> model, hidden] (1-D tensor parallelism over the voxel axis:
+    each model-shard computes a partial matmul, XLA inserts the psum); all
+    other leaves replicated."""
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        if "fc1" in keys and keys[-1] == "kernel":
+            return P(MODEL_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
+    """Place parameters on the mesh; replicated by default, or per-leaf specs."""
+    if specs is None:
+        return jax.device_put(params, replicated(mesh))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def _voxel_tp_place(tree: Any, mesh: Mesh) -> Any:
+    """Shard any leaf living under an ``fc1 -> kernel`` path over the model
+    axis (covers the parameter itself and the optimizer moments, which mirror
+    the parameter tree structure); everything else replicated."""
+
+    def place(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if "fc1" in keys and keys[-1] == "kernel" and np.ndim(leaf) == 2:
+            return jax.device_put(leaf, NamedSharding(mesh, P(MODEL_AXIS, None)))
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def shard_state(state: Any, mesh: Mesh, voxel_tp: bool = False) -> Any:
+    """Place a full TrainState: params/opt-state/batch-stats replicated, except
+    (with ``voxel_tp``) the cognitive encoder's fc1 kernel and its optimizer
+    moments sharded over the model axis."""
+    if not voxel_tp:
+        return jax.device_put(state, replicated(mesh))
+    params = dict(state.params)
+    opt = dict(state.opt_state)
+    params["encoder"] = _voxel_tp_place(params["encoder"], mesh)
+    if "encoder" in opt:
+        opt["encoder"] = _voxel_tp_place(opt["encoder"], mesh)
+    for k in params:
+        if k != "encoder":
+            params[k] = jax.device_put(params[k], replicated(mesh))
+    for k in opt:
+        if k != "encoder":
+            opt[k] = jax.device_put(opt[k], replicated(mesh))
+    return state.replace(
+        params=params,
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        opt_state=opt,
+        step=jax.device_put(state.step, replicated(mesh)))

@@ -1,0 +1,293 @@
+"""Fused jitted train steps for the Dual-VAE/GAN family (Stages I/II/III).
+
+Each reference trainer's per-batch work — forward, three selective backward
+passes through one retained graph, equilibrium gating, optimizer steps
+(``train_vgan_stage1.py:316-432``) — collapses into ONE jitted function:
+
+  * one forward (``jax.vjp``) shared by all heads, exactly like the reference's
+    retained graph;
+  * one pullback call per loss head, each scoped to its parameter group —
+    the functional equivalent of ``loss.backward(retain_graph=True)`` +
+    ``optimizer_<group>.step()`` + ``zero_grad()``;
+  * the equilibrium/margin gate as branchless masked updates (a skipped update
+    also freezes the RMSprop moments, matching a skipped ``optimizer.step()``);
+  * explicit PRNG threading for the reparameterisation eps and the prior
+    samples z_p (the reference's implicit CUDA RNG, ``vae_gan.py:266-269,281``).
+
+Device-boundary note: the reference syncs loss scalars to host every batch
+(``train_vgan_stage1.py:391-394``); here the step returns a metrics dict that
+stays on device until the caller flushes it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fmri_tpu.configs.presets import Config
+from fmri_tpu.losses.gan_losses import (
+    combine_mode, equilibrium_gate, vaegan_terms,
+)
+from fmri_tpu.models.nets import (
+    CognitiveEncoder, Decoder, ImageDiscriminator, VisualEncoder,
+)
+from fmri_tpu.train.common import apply_with_stats, gate_float
+from fmri_tpu.train.optim import RmsProp
+from fmri_tpu.train.state import TrainState
+
+
+class StepFns(NamedTuple):
+    train_step: Any
+    eval_step: Any
+
+
+def _split_triplet(feats, score, b):
+    return (feats[:b], feats[b : 2 * b],
+            score[:b], score[b : 2 * b], score[2 * b :])
+
+
+def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
+                          lr_schedule=None, donate: bool = True) -> StepFns:
+    """Stage-I image-to-image VAE/GAN step (``train_vgan_stage1.py``).
+
+    ``mode``: 'vae-gan' | 'vae' | 'beta-vae' | 'dcgan' (``:359-387``).
+    State groups: encoder (visual), decoder, discriminator.
+    """
+    c = cfg.model
+    t = cfg.train
+    enc, dec, disc = VisualEncoder(c), Decoder(c), ImageDiscriminator(c)
+    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=t.grad_clip)
+    if lr_schedule is None:
+        lr_schedule = lambda step: jnp.float32(t.learning_rate)
+
+    def forward(enc_p, dec_p, disc_p, stats, x, eps, z_p):
+        (mu, lv), enc_s = apply_with_stats(enc, enc_p, stats["encoder"], x, train=True)
+        z = mu + eps * jnp.exp(0.5 * lv)
+        x_tilde, dec_s1 = apply_with_stats(dec, dec_p, stats["decoder"], z, train=True)
+        x_p, dec_s2 = apply_with_stats(dec, dec_p, dec_s1, z_p, train=True)
+        concat = jnp.concatenate([x, x_tilde, x_p], axis=0)
+        (feats, score), disc_s = apply_with_stats(
+            disc, disc_p, stats["discriminator"], concat, train=True)
+        b = x.shape[0]
+        fo, fp, so, sp, ss = _split_triplet(feats, score, b)
+        terms = vaegan_terms(x, x_tilde, fo, fp, so, sp, ss, mu, lv)
+        new_stats = {"encoder": enc_s, "decoder": dec_s2, "discriminator": disc_s}
+        return terms, new_stats, x_tilde
+
+    def train_step(state: TrainState, x, rng, margin, equilibrium, lambda_mse):
+        b = x.shape[0]
+        k_eps, k_zp = jax.random.split(rng)
+        eps = jax.random.normal(k_eps, (b, c.latent_dim), jnp.float32)
+        z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
+        p = state.params
+
+        def heads_fn(enc_p, dec_p, disc_p):
+            terms, new_stats, x_tilde = forward(
+                enc_p, dec_p, disc_p, state.batch_stats, x, eps, z_p)
+            h = combine_mode(terms, mode, lambda_mse=lambda_mse,
+                             beta=t.beta, batch_size=b)
+            return (h.encoder, h.decoder, h.discriminator), (terms, new_stats, h, x_tilde)
+
+        (heads, vjp_fn, aux) = jax.vjp(
+            heads_fn, p["encoder"], p["decoder"], p["discriminator"], has_aux=True)
+        terms, new_stats, h, x_tilde = aux
+        one, zero = jnp.float32(1.0), jnp.float32(0.0)
+        g_enc = vjp_fn((one, zero, zero))[0]
+        g_dec = vjp_fn((zero, one, zero))[1]
+        g_dis = vjp_fn((zero, zero, one))[2]
+
+        dec_gate, dis_gate = equilibrium_gate(
+            terms, equilibrium, margin, init_dis=(mode != "vae"))
+        lr = lr_schedule(state.step)
+
+        new_params = dict(p)
+        new_opt = dict(state.opt_state)
+        if mode != "dcgan":  # dcgan freezes the visual encoder (:376-378)
+            new_params["encoder"], new_opt["encoder"] = opt.update(
+                g_enc, state.opt_state["encoder"], p["encoder"], lr, 1.0)
+        new_params["decoder"], new_opt["decoder"] = opt.update(
+            g_dec, state.opt_state["decoder"], p["decoder"], lr,
+            gate_float(dec_gate))
+        new_params["discriminator"], new_opt["discriminator"] = opt.update(
+            g_dis, state.opt_state["discriminator"], p["discriminator"], lr,
+            gate_float(dis_gate))
+
+        metrics = {
+            "loss_encoder": h.encoder / b,
+            "loss_decoder": h.decoder / b,
+            "loss_discriminator": h.discriminator / b,
+            "loss_reconstruction": h.nle_sum / b,
+            "train_dec": gate_float(dec_gate),
+            "train_dis": gate_float(dis_gate),
+            "lr": lr,
+        }
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, metrics
+
+    def eval_step(state: TrainState, x, rng=None):
+        """Eval reconstruction (``VaeGan.forward`` eval branch,
+        ``vae_gan.py:288-297``): encode -> reparameterize -> decode, with BN
+        running averages."""
+        variables = {"params": state.params["encoder"],
+                     "batch_stats": state.batch_stats["encoder"]}
+        mu, lv = enc.apply(variables, x, train=False)
+        if rng is None:
+            z = mu
+        else:
+            z = mu + jax.random.normal(rng, mu.shape) * jnp.exp(0.5 * lv)
+        return dec.apply({"params": state.params["decoder"],
+                          "batch_stats": state.batch_stats["decoder"]},
+                         z, train=False)
+
+    donate_args = (0,) if donate else ()
+    return StepFns(
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )
+
+
+def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
+                             use_teacher: bool = True, lr_schedule=None,
+                             donate: bool = True) -> StepFns:
+    """Stage-II/III cognitive VAE/GAN step
+    (``train_vgan_stage2.py`` / ``train_vgan_stage3.py``).
+
+    State groups: encoder (cognitive), decoder, discriminator, teacher_encoder
+    (frozen visual encoder from Stage I).
+
+    Stage II (``train_vgan_stage2.py:321-407``): trains encoder + discriminator
+    with elementwise grad clamp +-1; decoder frozen; the gate is disabled
+    (``train_dis=True, train_dec=False`` hard-coded after the mode blocks).
+    Inter-modality distillation: the teacher encodes the GT image and the
+    shared decoder reconstructs it as the discriminator's 'real'
+    (``vae_gan.py:367-377``).
+
+    Stage III (``train_vgan_stage3.py:320-410``): encoder frozen, decoder +
+    discriminator trained with the equilibrium gate and grad clamp; the
+    distillation branch is inert because it requires ``stage == 2``
+    (``vae_gan.py:367``), so 'real' is the raw image.
+    """
+    assert stage in (2, 3)
+    c = cfg.model
+    t = cfg.train
+    cog = CognitiveEncoder(c)
+    teacher_enc = VisualEncoder(c)
+    dec, disc = Decoder(c), ImageDiscriminator(c)
+    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
+    if lr_schedule is None:
+        lr_schedule = lambda step: jnp.float32(t.learning_rate)
+    distill = use_teacher and stage == 2
+
+    def forward(cog_p, dec_p, disc_p, stats, teacher_p, fmri, image,
+                eps, eps_t, z_p):
+        (mu, lv), cog_s = apply_with_stats(cog, cog_p, stats["encoder"],
+                                           fmri, train=True)
+        z = mu + eps * jnp.exp(0.5 * lv)
+        x_tilde, dec_s = apply_with_stats(dec, dec_p, stats["decoder"], z, train=True)
+        teach_s = stats.get("teacher_encoder", {})
+        if distill:
+            (mu_t, lv_t), teach_s = apply_with_stats(
+                teacher_enc, teacher_p, stats["teacher_encoder"], image, train=True)
+            z_t = mu_t + eps_t * jnp.exp(0.5 * lv_t)
+            gt_x, dec_s = apply_with_stats(dec, dec_p, dec_s, z_t, train=True)
+        else:
+            gt_x = image
+        x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p, train=True)
+        concat = jnp.concatenate([gt_x, x_tilde, x_p], axis=0)
+        (feats, score), disc_s = apply_with_stats(
+            disc, disc_p, stats["discriminator"], concat, train=True)
+        b = fmri.shape[0]
+        fo, fp, so, sp, ss = _split_triplet(feats, score, b)
+        terms = vaegan_terms(gt_x, x_tilde, fo, fp, so, sp, ss, mu, lv)
+        new_stats = {"encoder": cog_s, "decoder": dec_s,
+                     "discriminator": disc_s, "teacher_encoder": teach_s}
+        return terms, new_stats, (gt_x, x_tilde)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng,
+                   margin, equilibrium, lambda_mse):
+        fmri, image = batch["fmri"], batch["image"]
+        b = fmri.shape[0]
+        k_eps, k_t, k_zp = jax.random.split(rng, 3)
+        eps = jax.random.normal(k_eps, (b, c.latent_dim), jnp.float32)
+        eps_t = jax.random.normal(k_t, (b, c.latent_dim), jnp.float32)
+        z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
+        p = state.params
+
+        def heads_fn(cog_p, dec_p, disc_p):
+            terms, new_stats, imgs = forward(
+                cog_p, dec_p, disc_p, state.batch_stats,
+                p.get("teacher_encoder"), fmri, image, eps, eps_t, z_p)
+            h = combine_mode(terms, mode, lambda_mse=lambda_mse,
+                             beta=t.beta, batch_size=b)
+            return (h.encoder, h.decoder, h.discriminator), (terms, new_stats, h)
+
+        heads, vjp_fn, aux = jax.vjp(
+            heads_fn, p["encoder"], p["decoder"], p["discriminator"], has_aux=True)
+        terms, new_stats, h = aux
+        one, zero = jnp.float32(1.0), jnp.float32(0.0)
+        lr = lr_schedule(state.step)
+        new_params = dict(p)
+        new_opt = dict(state.opt_state)
+
+        if stage == 2:
+            # encoder + discriminator always train; decoder frozen
+            # (train_vgan_stage2.py:376-407).
+            g_enc = vjp_fn((one, zero, zero))[0]
+            g_dis = vjp_fn((zero, zero, one))[2]
+            dec_gate = jnp.asarray(False)
+            dis_gate = jnp.asarray(True)
+            new_params["encoder"], new_opt["encoder"] = opt.update(
+                g_enc, state.opt_state["encoder"], p["encoder"], lr, 1.0)
+            new_params["discriminator"], new_opt["discriminator"] = opt.update(
+                g_dis, state.opt_state["discriminator"], p["discriminator"], lr, 1.0)
+        else:
+            # stage 3: decoder + discriminator with the equilibrium gate
+            # (train_vgan_stage3.py:377-410); encoder frozen.
+            g_dec = vjp_fn((zero, one, zero))[1]
+            g_dis = vjp_fn((zero, zero, one))[2]
+            dec_gate, dis_gate = equilibrium_gate(
+                terms, equilibrium, margin, init_dis=(mode != "vae"))
+            new_params["decoder"], new_opt["decoder"] = opt.update(
+                g_dec, state.opt_state["decoder"], p["decoder"], lr,
+                gate_float(dec_gate))
+            new_params["discriminator"], new_opt["discriminator"] = opt.update(
+                g_dis, state.opt_state["discriminator"], p["discriminator"], lr,
+                gate_float(dis_gate))
+
+        metrics = {
+            "loss_encoder": h.encoder / b,
+            "loss_decoder": h.decoder / b,
+            "loss_discriminator": h.discriminator / b,
+            "loss_reconstruction": h.nle_sum / b,
+            "train_dec": gate_float(dec_gate),
+            "train_dis": gate_float(dis_gate),
+            "lr": lr,
+        }
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch, rng=None):
+        """Eval: fMRI -> reconstruction (``VaeGanCognitive`` eval branch,
+        ``vae_gan.py:397-402``)."""
+        fmri = batch["fmri"] if isinstance(batch, dict) else batch
+        mu, lv = cog.apply({"params": state.params["encoder"],
+                            "batch_stats": state.batch_stats["encoder"]},
+                           fmri, train=False)
+        if rng is None:
+            z = mu
+        else:
+            z = mu + jax.random.normal(rng, mu.shape) * jnp.exp(0.5 * lv)
+        return dec.apply({"params": state.params["decoder"],
+                          "batch_stats": state.batch_stats["decoder"]},
+                         z, train=False)
+
+    donate_args = (0,) if donate else ()
+    return StepFns(
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )

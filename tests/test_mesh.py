@@ -1,0 +1,113 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (conftest.py): data
+parallelism for Stage-I, voxel tensor parallelism for the cognitive stage, and
+single-device-vs-mesh numerical equivalence of a full train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fmri_tpu.configs import TINY
+from fmri_tpu.parallel import make_mesh, shard_batch, shard_state
+from fmri_tpu.train import (
+    RmsProp, init_cognitive, init_latent_disc, init_vaegan, make_state,
+    make_vgan_cognitive_step, make_vgan_stage1_step,
+)
+
+CFG = TINY
+B = 16
+
+
+def _vgan_state(seed=0):
+    groups = init_vaegan(jax.random.key(seed), CFG)
+    opt = RmsProp()
+    g = {k: {"params": groups["params"][k], "batch_stats": groups["batch_stats"][k]}
+         for k in groups["params"]}
+    return make_state(g, {k: opt for k in g})
+
+
+def _cog_state(seed=0):
+    ks = jax.random.split(jax.random.key(seed), 2)
+    vg = init_vaegan(ks[0], CFG)
+    cog = init_cognitive(ks[1], CFG)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "discriminator": {"params": vg["params"]["discriminator"],
+                          "batch_stats": vg["batch_stats"]["discriminator"]},
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+    }
+    opt = RmsProp(clip=1.0)
+    return make_state(groups, {k: opt for k in ("encoder", "discriminator")})
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_stage1_step_data_parallel_matches_single_device():
+    step = make_vgan_stage1_step(CFG, "vae-gan", donate=False)
+    x = jax.random.uniform(jax.random.key(7),
+                           (B, CFG.model.image_size, CFG.model.image_size, 3),
+                           minval=-1.0, maxval=1.0)
+    args = (jax.random.key(3), jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(1e-6))
+
+    s_single, m_single = step.train_step(_vgan_state(), x, *args)
+
+    mesh = make_mesh()  # 8-way data parallel
+    state = shard_state(_vgan_state(), mesh)
+    xs = shard_batch(x, mesh)
+    s_mesh, m_mesh = step.train_step(state, xs, *args)
+
+    np.testing.assert_allclose(
+        float(m_single["loss_encoder"]), float(m_mesh["loss_encoder"]),
+        rtol=2e-4)
+    # parameters after one step agree (BN cross-replica reductions are global
+    # because the jitted program is written over the global batch)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_cognitive_step_voxel_tensor_parallel():
+    step = make_vgan_cognitive_step(CFG, stage=2, donate=False)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    batch = {
+        "fmri": jax.random.normal(k1, (B, CFG.model.num_voxels)),
+        "image": jax.random.uniform(
+            k2, (B, CFG.model.image_size, CFG.model.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+    args = (jax.random.key(3), jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(1e-6))
+
+    s_single, m_single = step.train_step(_cog_state(), batch, *args)
+
+    mesh = make_mesh(model=2)  # 4-way data x 2-way voxel TP
+    state = shard_state(_cog_state(), mesh, voxel_tp=True)
+    sharded = shard_batch(batch, mesh, voxel_tp=True)
+    s_mesh, m_mesh = step.train_step(state, sharded, *args)
+
+    np.testing.assert_allclose(
+        float(m_single["loss_encoder"]), float(m_mesh["loss_encoder"]), rtol=2e-4)
+    fc1_single = np.asarray(s_single.params["encoder"]["fc1"]["kernel"])
+    fc1_mesh = np.asarray(s_mesh.params["encoder"]["fc1"]["kernel"])
+    np.testing.assert_allclose(fc1_single, fc1_mesh, rtol=2e-3, atol=2e-5)
+    # the kernel is really sharded over the model axis
+    sh = s_mesh.params["encoder"]["fc1"]["kernel"].sharding
+    assert "model" in str(sh.spec)
+
+
+def test_shard_batch_places_batch_axis():
+    mesh = make_mesh()
+    x = jnp.zeros((B, 4, 4, 3))
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec[0] == "data"

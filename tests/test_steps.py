@@ -1,0 +1,300 @@
+"""Integration tests for the fused train steps: every stage of both families
+runs, losses are finite, trainable groups move, frozen groups stay fixed, the
+equilibrium gate freezes both params and optimizer moments, and steps are
+deterministic under fixed PRNG keys (SURVEY.md §4 test pyramid, tier 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fmri_tpu.configs import TINY
+from fmri_tpu.train import (
+    Adam, RmsProp, TrainState, init_cognitive, init_latent_disc, init_vaegan,
+    make_state, make_vgan_cognitive_step, make_vgan_stage1_step,
+    make_wae_cognitive_step, make_wae_stage1_step, make_wae_vgan_step,
+)
+
+CFG = TINY
+B = 8
+
+
+def _leaves_equal(a, b):
+    return all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+def _images(key=0):
+    return jax.random.uniform(
+        jax.random.key(key), (B, CFG.model.image_size, CFG.model.image_size, 3),
+        minval=-1.0, maxval=1.0)
+
+
+def _bold_batch(key=0):
+    k1, k2 = jax.random.split(jax.random.key(key))
+    return {
+        "fmri": jax.random.normal(k1, (B, CFG.model.num_voxels)),
+        "image": jax.random.uniform(
+            k2, (B, CFG.model.image_size, CFG.model.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+
+
+def _vgan_state(seed=0):
+    groups = init_vaegan(jax.random.key(seed), CFG)
+    opt = RmsProp()
+    g = {k: {"params": groups["params"][k], "batch_stats": groups["batch_stats"][k]}
+         for k in groups["params"]}
+    return make_state(g, {k: opt for k in g})
+
+
+@pytest.fixture(scope="module")
+def vgan_step():
+    return make_vgan_stage1_step(CFG, "vae-gan", donate=False)
+
+
+def test_vgan_stage1_runs_and_moves(vgan_step):
+    state = _vgan_state()
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    margin, eq, lam = jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6)
+    x = _images()
+    for i in range(3):
+        state, m = vgan_step.train_step(state, x, jax.random.key(i), margin, eq, lam)
+    assert np.isfinite(float(m["loss_encoder"]))
+    assert np.isfinite(float(m["loss_decoder"]))
+    assert np.isfinite(float(m["loss_discriminator"]))
+    assert not _leaves_equal(p0["encoder"], state.params["encoder"])
+    assert not _leaves_equal(p0["decoder"], state.params["decoder"])
+    assert int(state.step) == 3
+    # eval path
+    out = vgan_step.eval_step(state, x)
+    assert out.shape == x.shape
+
+
+def test_vgan_stage1_deterministic(vgan_step):
+    args = (_images(), jax.random.key(42), jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(1e-6))
+    s1, m1 = vgan_step.train_step(_vgan_state(), *args)
+    s2, m2 = vgan_step.train_step(_vgan_state(), *args)
+    assert _leaves_equal(s1.params, s2.params)
+    assert float(m1["loss_encoder"]) == float(m2["loss_encoder"])
+
+
+def test_vgan_stage1_gate_freezes_disc(vgan_step):
+    # equilibrium huge -> every bce < eq - margin -> discriminator skipped,
+    # and its RMSprop moments must not move either.
+    state = _vgan_state()
+    s1, m = vgan_step.train_step(
+        state, _images(), jax.random.key(0), jnp.float32(0.1),
+        jnp.float32(1e6), jnp.float32(1e-6))
+    assert float(m["train_dis"]) == 0.0
+    assert _leaves_equal(state.params["discriminator"], s1.params["discriminator"])
+    assert _leaves_equal(state.opt_state["discriminator"], s1.opt_state["discriminator"])
+    assert not _leaves_equal(state.params["decoder"], s1.params["decoder"])
+
+
+def test_vgan_stage1_gate_skips_decoder(vgan_step):
+    # equilibrium very negative -> every bce > eq + margin -> decoder skipped.
+    state = _vgan_state()
+    s1, m = vgan_step.train_step(
+        state, _images(), jax.random.key(0), jnp.float32(0.1),
+        jnp.float32(-1e6), jnp.float32(1e-6))
+    assert float(m["train_dec"]) == 0.0
+    assert float(m["train_dis"]) == 1.0
+    assert _leaves_equal(state.params["decoder"], s1.params["decoder"])
+
+
+def _cognitive_state(stage, seed=0, with_teacher=True):
+    ks = jax.random.split(jax.random.key(seed), 4)
+    vg = init_vaegan(ks[0], CFG)
+    cog = init_cognitive(ks[1], CFG)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "discriminator": {"params": vg["params"]["discriminator"],
+                          "batch_stats": vg["batch_stats"]["discriminator"]},
+        "teacher_encoder": ({"params": vg["params"]["encoder"],
+                             "batch_stats": vg["batch_stats"]["encoder"]}
+                            if with_teacher else {"params": {}, "batch_stats": {}}),
+    }
+    opt = RmsProp(clip=1.0)
+    trainable = {2: ("encoder", "discriminator"), 3: ("decoder", "discriminator")}[stage]
+    return make_state(groups, {k: opt for k in trainable})
+
+
+def test_vgan_stage2_distillation_step():
+    step = make_vgan_cognitive_step(CFG, stage=2, donate=False)
+    state = _cognitive_state(2)
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    batch = _bold_batch()
+    for i in range(2):
+        state, m = step.train_step(state, batch, jax.random.key(i),
+                                   jnp.float32(0.35), jnp.float32(0.68),
+                                   jnp.float32(1e-6))
+    assert np.isfinite(float(m["loss_encoder"]))
+    assert not _leaves_equal(p0["encoder"], state.params["encoder"])
+    assert not _leaves_equal(p0["discriminator"], state.params["discriminator"])
+    # decoder and teacher are frozen
+    assert _leaves_equal(p0["decoder"], state.params["decoder"])
+    assert _leaves_equal(p0["teacher_encoder"], state.params["teacher_encoder"])
+    out = step.eval_step(state, batch)
+    assert out.shape == batch["image"].shape
+
+
+def test_vgan_stage3_freezes_encoder():
+    step = make_vgan_cognitive_step(CFG, stage=3, donate=False)
+    state = _cognitive_state(3)
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, m = step.train_step(state, _bold_batch(), jax.random.key(0),
+                               jnp.float32(0.35), jnp.float32(0.68),
+                               jnp.float32(1e-6))
+    assert _leaves_equal(p0["encoder"], state.params["encoder"])
+    assert not _leaves_equal(p0["decoder"], state.params["decoder"]) or \
+        float(m["train_dec"]) == 0.0
+    assert np.isfinite(float(m["loss_decoder"]))
+
+
+def _wae1_state(seed=0):
+    ks = jax.random.split(jax.random.key(seed), 2)
+    vg = init_vaegan(ks[0], CFG)
+    ld = init_latent_disc(ks[1], CFG, init_scheme="uniform")
+    groups = {
+        "encoder": {"params": vg["params"]["encoder"],
+                    "batch_stats": vg["batch_stats"]["encoder"]},
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "latent_disc": ld,
+    }
+    opt = Adam(b1=0.5)
+    return make_state(groups, {k: opt for k in groups})
+
+
+def test_wae_stage1_runs():
+    step = make_wae_stage1_step(CFG, donate=False)
+    state = _wae1_state()
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    x = _images()
+    for i in range(3):
+        state, m = step.train_step(state, x, jax.random.key(i))
+    for k in ("loss_reconstruction", "loss_penalty",
+              "loss_discriminator_fake", "loss_discriminator_real"):
+        assert np.isfinite(float(m[k])), k
+    for g in ("encoder", "decoder", "latent_disc"):
+        assert not _leaves_equal(p0[g], state.params[g]), g
+    out = step.eval_step(state, x)
+    assert out.shape == x.shape
+
+
+def test_wae_stage1_recon_improves():
+    # The generator phase minimizes recon; on a fixed batch the recon loss
+    # should drop substantially over a few dozen steps.
+    step = make_wae_stage1_step(CFG, donate=False)
+    state = _wae1_state()
+    x = _images()
+    first = None
+    for i in range(30):
+        state, m = step.train_step(state, x, jax.random.key(i))
+        if first is None:
+            first = float(m["loss_reconstruction"])
+    assert float(m["loss_reconstruction"]) < first
+
+
+def _wae_cog_state(stage, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 4)
+    vg = init_vaegan(ks[0], CFG)
+    cog = init_cognitive(ks[1], CFG)
+    ld = init_latent_disc(ks[2], CFG, init_scheme="normal")
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "latent_disc": ld,
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+    }
+    opt = Adam(b1=0.9)
+    trainable = {2: ("encoder", "latent_disc"), 3: ("decoder", "latent_disc")}[stage]
+    return make_state(groups, {k: opt for k in trainable})
+
+
+def test_wae_stage2_trains_encoder_only():
+    step = make_wae_cognitive_step(CFG, stage=2, donate=False)
+    state = _wae_cog_state(2)
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, m = step.train_step(state, _bold_batch(), jax.random.key(0))
+    assert not _leaves_equal(p0["encoder"], state.params["encoder"])
+    assert not _leaves_equal(p0["latent_disc"], state.params["latent_disc"])
+    assert _leaves_equal(p0["decoder"], state.params["decoder"])
+    assert _leaves_equal(p0["teacher_encoder"], state.params["teacher_encoder"])
+    assert np.isfinite(float(m["loss_reconstruction"]))
+
+
+def test_wae_stage3_trains_decoder_only():
+    step = make_wae_cognitive_step(CFG, stage=3, donate=False)
+    state = _wae_cog_state(3)
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, m = step.train_step(state, _bold_batch(), jax.random.key(0))
+    assert not _leaves_equal(p0["decoder"], state.params["decoder"])
+    assert not _leaves_equal(p0["latent_disc"], state.params["latent_disc"])
+    assert _leaves_equal(p0["encoder"], state.params["encoder"])
+    assert np.isfinite(float(m["loss_penalty"]))  # logged though not optimised
+
+
+def test_wae_vgan_step_runs():
+    step = make_wae_vgan_step(CFG, donate=False)
+    ks = jax.random.split(jax.random.key(0), 2)
+    vg = init_vaegan(ks[0], CFG)
+    ld = init_latent_disc(ks[1], CFG, init_scheme="uniform")
+    groups = {k: {"params": vg["params"][k], "batch_stats": vg["batch_stats"][k]}
+              for k in vg["params"]}
+    groups["latent_disc"] = ld
+    opt = RmsProp()
+    state = make_state(groups, {k: opt for k in groups})
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, m = step.train_step(state, _images(), jax.random.key(1),
+                               jnp.float32(0.35), jnp.float32(0.68),
+                               jnp.float32(1e-6))
+    for k in ("loss_encoder", "loss_penalty", "loss_discriminator_fake"):
+        assert np.isfinite(float(m[k])), k
+    assert not _leaves_equal(p0["latent_disc"], state.params["latent_disc"])
+    assert not _leaves_equal(p0["encoder"], state.params["encoder"])
+
+
+def test_rmsprop_matches_torch():
+    torch = pytest.importorskip("torch")
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    grads = [np.random.default_rng(i + 1).normal(size=(4, 3)).astype(np.float32)
+             for i in range(5)]
+    # torch reference
+    p_t = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt_t = torch.optim.RMSprop([p_t], lr=1e-2, alpha=0.9, eps=1e-8)
+    for g in grads:
+        p_t.grad = torch.tensor(g)
+        opt_t.step()
+    # ours
+    opt = RmsProp(decay=0.9, eps=1e-8)
+    p = jnp.asarray(w0)
+    st = opt.init(p)
+    for g in grads:
+        p, st = opt.update(jnp.asarray(g), st, p, jnp.float32(1e-2), 1.0)
+    np.testing.assert_allclose(np.asarray(p), p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_adam_matches_torch():
+    torch = pytest.importorskip("torch")
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    grads = [np.random.default_rng(i + 1).normal(size=(4, 3)).astype(np.float32)
+             for i in range(5)]
+    p_t = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt_t = torch.optim.Adam([p_t], lr=1e-3, betas=(0.5, 0.999), eps=1e-8)
+    for g in grads:
+        p_t.grad = torch.tensor(g)
+        opt_t.step()
+    opt = Adam(b1=0.5, b2=0.999, eps=1e-8)
+    p = jnp.asarray(w0)
+    st = opt.init(p)
+    for g in grads:
+        p, st = opt.update(jnp.asarray(g), st, p, jnp.float32(1e-3), 1.0)
+    np.testing.assert_allclose(np.asarray(p), p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
