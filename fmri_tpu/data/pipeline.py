@@ -1,0 +1,121 @@
+"""Input pipeline: packed host arrays -> fixed-shape device batches.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` with
+``num_workers=4`` spawn-mode worker processes re-decoding JPEGs every epoch
+(``data_loader.py:23``, ``train_vgan_stage1.py:195-196``).  Here the decode
+happened once at pack time (``fmri_tpu.data.datasets``); an epoch is pure
+array indexing, so the host never bottlenecks the TPU:
+
+  * seeded epoch shuffling (reference relies on torch's global seed);
+  * drop-remainder batching — every batch has the same static shape, so the
+    train step compiles exactly once;
+  * asynchronous device placement: ``jax.device_put`` of batch N+1 is issued
+    while batch N computes (double buffering), optionally with a
+    ``jax.sharding.Mesh`` so each host shard lands on its data-parallel
+    device slice directly.
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Any, Dict, Iterator, Optional, Union
+
+import jax
+import numpy as np
+
+Batch = Union[np.ndarray, Dict[str, np.ndarray]]
+
+
+def _num_examples(data: Batch) -> int:
+    if isinstance(data, dict):
+        return len(next(iter(data.values())))
+    return len(data)
+
+
+def _index(data: Batch, idx: np.ndarray) -> Batch:
+    if isinstance(data, dict):
+        return {k: v[idx] for k, v in data.items()}
+    return data[idx]
+
+
+class Batches:
+    """Deterministic batcher over packed arrays (or dicts of arrays).
+
+    ``shuffle=True`` reshuffles every epoch from ``seed`` + epoch index, the
+    functional analogue of the reference's ``DataLoader(shuffle=True)`` under
+    its global ``torch.manual_seed`` (``train_vgan_stage1.py:123``).
+    """
+
+    def __init__(self, data: Batch, batch_size: int, *, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True):
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        n = _num_examples(data)
+        if drop_last:
+            self.num_batches = n // batch_size
+        else:
+            self.num_batches = (n + batch_size - 1) // batch_size
+        if self.num_batches == 0:
+            raise ValueError(
+                f"dataset of {n} examples yields no batches of {batch_size}")
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = _num_examples(self.data)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        self.epoch += 1
+        for b in range(self.num_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            yield _index(self.data, idx)
+
+
+def device_iterator(batches, *, mesh=None, voxel_tp: bool = False,
+                    prefetch: int = 2):
+    """Wrap a host batch iterator with asynchronous device placement.
+
+    With a mesh, batches are placed batch-axis-over-``data`` (and, for fMRI
+    arrays under ``voxel_tp``, feature-axis-over-``model``) via
+    ``fmri_tpu.parallel.mesh.shard_batch``; otherwise a plain ``device_put``.
+    ``prefetch`` batches are staged ahead so H2D transfer overlaps compute.
+    """
+    from fmri_tpu.parallel.mesh import shard_batch
+
+    def place(batch: Batch) -> Any:
+        if mesh is not None:
+            return shard_batch(batch, mesh, voxel_tp=voxel_tp)
+        return jax.device_put(batch)
+
+    if prefetch <= 0:
+        for batch in batches:
+            yield place(batch)
+        return
+
+    q: Queue = Queue(maxsize=prefetch)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in batches:
+                q.put(place(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
