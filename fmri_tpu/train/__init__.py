@@ -8,3 +8,7 @@ from fmri_tpu.train.steps_vgan import (  # noqa: F401
 from fmri_tpu.train.steps_wae import (  # noqa: F401
     make_wae_cognitive_step, make_wae_stage1_step, make_wae_vgan_step,
 )
+from fmri_tpu.train.trainer import (  # noqa: F401
+    EarlyStopping, GameSchedules, Trainer,
+)
+from fmri_tpu.train.stages import BUILDERS  # noqa: F401

@@ -148,9 +148,10 @@ def make_wae_cognitive_step(cfg: Config, stage: int, lr_schedule_enc=None,
         mean-MSE recon (the penalty backward is commented out at ``:344``);
         encoder frozen.
 
-    Stage-2 hard-coded optimizer setting (``train_wae_stage2.py:237-243``):
-    Adam(0.9, 0.999) enc/dec lr 1e-3, disc lr 5e-4, StepLR(30, 0.5) — pass
-    schedules to reproduce.
+    Stage-2/3 hard-coded optimizer setting (``train_wae_stage2.py:237-243``,
+    ``train_wae_stage3.py:258-264``): Adam(betas=(0.5, 0.999)), enc/dec lr
+    1e-3, disc lr 5e-4, StepLR(30, 0.5) — ignoring the config lr, reproduced
+    via the default schedules below.
     """
     assert stage in (2, 3)
     c = cfg.model
@@ -159,8 +160,8 @@ def make_wae_cognitive_step(cfg: Config, stage: int, lr_schedule_enc=None,
     teacher_enc = VisualEncoder(c)
     dec = Decoder(c)
     ldisc = LatentDiscriminator(c, init_scheme="normal")
-    # Stage-2/3 use torch Adam defaults (betas 0.9/0.999): train_wae_stage2.py:237-243.
-    opt = Adam(b1=0.9, b2=0.999)
+    # Adam betas (0.5, 0.999): train_wae_stage2.py:237-243.
+    opt = Adam(b1=0.5, b2=0.999)
     base_enc = lr_schedule_enc or (lambda step: jnp.float32(1e-3))
     base_dec = lr_schedule_dec or (lambda step: jnp.float32(1e-3))
     base_disc = lr_schedule_disc or (lambda step: jnp.float32(5e-4))
