@@ -26,7 +26,10 @@ from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from fmri_tpu.train.state import TrainState
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # lazy at runtime: avoids a circular import with fmri_tpu.train
+    from fmri_tpu.train.state import TrainState
 
 _CKPT_RE = re.compile(r"^ckpt_(\d+)$")
 
@@ -52,7 +55,7 @@ def latest_epoch(ckpt_dir: str) -> Optional[int]:
     return max(cps) if cps else None
 
 
-def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState,
+def save_checkpoint(ckpt_dir: str, epoch: int, state: "TrainState",
                     meta: Optional[Mapping[str, Any]] = None) -> str:
     """Write ``ckpt_dir/ckpt_<epoch>`` with the full TrainState + metadata."""
     import orbax.checkpoint as ocp
@@ -70,9 +73,9 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState,
     return path
 
 
-def restore_checkpoint(ckpt_dir: str, template: TrainState,
+def restore_checkpoint(ckpt_dir: str, template: "TrainState",
                        epoch: Optional[int] = None
-                       ) -> Tuple[TrainState, Dict[str, Any]]:
+                       ) -> "Tuple[TrainState, Dict[str, Any]]":
     """Restore a TrainState (shapes/dtypes from ``template``) and its metadata.
 
     ``epoch=None`` restores the latest checkpoint — the reference's
@@ -91,10 +94,40 @@ def restore_checkpoint(ckpt_dir: str, template: TrainState,
             "opt_state": template.opt_state, "step": template.step}
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=jax.device_get(tree))
+    from fmri_tpu.train.state import TrainState
+
     state = TrainState(params=restored["params"],
                        batch_stats=restored["batch_stats"],
                        opt_state=restored["opt_state"],
                        step=np.asarray(restored["step"]))
+    meta_path = os.path.join(path, "meta.json")
+    meta: Dict[str, Any] = {"epoch": epoch}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta.update(json.load(f))
+    return state, meta
+
+
+def load_eval_state(ckpt_dir: str, epoch: Optional[int] = None) -> "Tuple[TrainState, Dict[str, Any]]":
+    """Restore a checkpoint for inference: full params/batch_stats, empty
+    optimizer state (eval never touches it).  Template-free — shapes come from
+    the stored tree — so any stage's checkpoint loads without rebuilding its
+    optimizer wiring (the reference rebuilds the whole composite and
+    ``load_state_dict``s it, ``inference_gan.py:213-264``)."""
+    import orbax.checkpoint as ocp
+
+    if epoch is None:
+        epoch = latest_epoch(ckpt_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = _ckpt_path(ckpt_dir, epoch)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    from fmri_tpu.train.state import TrainState
+
+    state = TrainState(params=restored["params"],
+                       batch_stats=restored["batch_stats"],
+                       opt_state={}, step=np.asarray(restored["step"]))
     meta_path = os.path.join(path, "meta.json")
     meta: Dict[str, Any] = {"epoch": epoch}
     if os.path.exists(meta_path):

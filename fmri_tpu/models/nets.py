@@ -241,6 +241,37 @@ class LatentDiscriminator(nn.Module):
         return nn.sigmoid(x)
 
 
+class VoxelDecoder(nn.Module):
+    """Supervised fMRI->image decoder: the ``exp_decoder`` ablation's model —
+    a Decoder whose latent FC is replaced by
+    Dense(num_voxels -> fc_flat, no bias) + BN + **Tanh**
+    (``experiments/exp_decoder.py:172-174``), followed by the standard
+    transposed-conv stack."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, v, *, train: bool):
+        c = self.cfg
+        size0 = c.encoder_channels[-1]
+        x = nn.Dense(c.fc_input * c.fc_input * size0, use_bias=False,
+                     kernel_init=ref_uniform_init)(v)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x)
+        x = jnp.tanh(x)
+        x = x.reshape((x.shape[0], c.fc_input, c.fc_input, size0))
+        feats = (size0, c.decoder_channels[1], c.decoder_channels[2])
+        for f, op in zip(feats, c.output_pad_dec):
+            x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
+                             stride=c.stride, padding=c.padding)(x, train=train)
+        kernel = self.param(
+            "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
+        bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
+        x = conv2d(x, kernel, stride=1, padding=2) + bias
+        return jnp.tanh(x)
+
+
 def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Array:
     """z = mu + eps * exp(logvar/2), eps ~ N(0, I)  (``vae_gan.py:266-269``)."""
     eps = jax.random.normal(rng, mu.shape, mu.dtype)

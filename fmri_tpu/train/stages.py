@@ -203,6 +203,98 @@ def wae_vgan_stage1(cfg: Config, *, mode: str = "vae-gan",
     return state, steps, kwargs
 
 
+# --------------------------- experiments (ablations) ---------------------------
+
+
+def exp_decoder(cfg: Config, *, steps_per_epoch: int, seed: int = 8,
+                donate: bool = True) -> Built:
+    """Supervised decoder ablation (``experiments/exp_decoder.py``)."""
+    from fmri_tpu.train.state import init_voxel_decoder
+    from fmri_tpu.train.steps_exp import make_supervised_decoder_step
+
+    t = cfg.train
+    sched = exponential_lr(0.01, t.decay_lr, steps_per_epoch)  # Adam lr .01 (:253)
+    steps = make_supervised_decoder_step(cfg, lr_schedule=sched, donate=donate)
+    groups = {"decoder": init_voxel_decoder(jax.random.key(seed), cfg)}
+    state = make_state(groups, {"decoder": Adam(b1=0.9, b2=0.999)})
+    kwargs = dict(data_kind="pair", uses_gate=False, eval_sample=False,
+                  augment=dict(flip=False, max_shift=cfg.data.max_shift))
+    return state, steps, kwargs
+
+
+def _exp_cognitive_scratch(cfg: Config, mode: str, *, steps_per_epoch: int,
+                           seed: int, donate: bool) -> Built:
+    from fmri_tpu.train.steps_exp import make_cognitive_scratch_step
+
+    t = cfg.train
+    sched = exponential_lr(t.learning_rate, t.decay_lr, steps_per_epoch)
+    steps = make_cognitive_scratch_step(cfg, mode, lr_schedule=sched,
+                                        donate=donate)
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    groups = _groups_of(init_vaegan(k1, cfg))
+    del groups["encoder"]  # replace the visual encoder with a cognitive one
+    groups["encoder"] = init_cognitive(k2, cfg)
+    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
+    state = make_state(groups, {k: opt for k in groups})
+    kwargs = dict(data_kind="pair", uses_gate=True, eval_sample=True,
+                  augment=dict(flip=False, max_shift=cfg.data.max_shift))
+    return state, steps, kwargs
+
+
+def exp_vae(cfg: Config, *, steps_per_epoch: int, seed: int = 8,
+            donate: bool = True) -> Built:
+    """Cognitive Dual-VAE without distillation (``experiments/exp_vae.py``)."""
+    return _exp_cognitive_scratch(cfg, "vae", steps_per_epoch=steps_per_epoch,
+                                  seed=seed, donate=donate)
+
+
+def exp_vgan(cfg: Config, *, steps_per_epoch: int, seed: int = 8,
+             donate: bool = True) -> Built:
+    """Dual-VAE/GAN on BOLD from scratch (``experiments/exp_vgan.py``)."""
+    return _exp_cognitive_scratch(cfg, "vae-gan", steps_per_epoch=steps_per_epoch,
+                                  seed=seed, donate=donate)
+
+
+def exp_dcgan_stage1(cfg: Config, *, steps_per_epoch: int, seed: int = 8,
+                     donate: bool = True) -> Built:
+    """Plain DCGAN on images (``experiments/exp_dcgan_stage1.py``)."""
+    from fmri_tpu.train.steps_exp import make_dcgan_stage1_step
+
+    t = cfg.train
+    sched = exponential_lr(t.learning_rate, t.decay_lr, steps_per_epoch)
+    steps = make_dcgan_stage1_step(cfg, lr_schedule=sched, donate=donate)
+    groups = _groups_of(init_vaegan(jax.random.key(seed), cfg))
+    del groups["encoder"]
+    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
+    state = make_state(groups, {k: opt for k in groups})
+    kwargs = dict(data_kind="image", uses_gate=True, eval_sample=True,
+                  augment=dict(flip=True, max_shift=0))
+    return state, steps, kwargs
+
+
+def exp_dcgan_stage2(cfg: Config, stage1_ckpt: str, *, steps_per_epoch: int,
+                     seed: int = 8, epoch: Optional[int] = None,
+                     donate: bool = True) -> Built:
+    """Cognitive encoder over a frozen DCGAN generator
+    (``experiments/exp_dcgan_stage2.py``): decoder + discriminator from the
+    DCGAN checkpoint; only the discriminator updates (see steps_exp)."""
+    from fmri_tpu.train.steps_exp import make_dcgan_stage2_step
+
+    t = cfg.train
+    sched = exponential_lr(t.learning_rate, t.decay_lr, steps_per_epoch)
+    steps = make_dcgan_stage2_step(cfg, lr_schedule=sched, donate=donate)
+    cog = init_cognitive(jax.random.key(seed), cfg)
+    loaded = load_groups(stage1_ckpt, ["decoder", "discriminator"], {},
+                         epoch=epoch)
+    groups = graft_groups({"encoder": cog}, loaded, {
+        "decoder": "decoder", "discriminator": "discriminator"})
+    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
+    state = make_state(groups, {"discriminator": opt})
+    kwargs = dict(data_kind="pair", uses_gate=True, eval_sample=True,
+                  augment=dict(flip=False, max_shift=cfg.data.max_shift))
+    return state, steps, kwargs
+
+
 BUILDERS = {
     "vgan_stage1": vgan_stage1,
     "vgan_stage2": vgan_stage2,
@@ -211,4 +303,9 @@ BUILDERS = {
     "wae_stage2": wae_stage2,
     "wae_stage3": wae_stage3,
     "wae_vgan_stage1": wae_vgan_stage1,
+    "exp_decoder": exp_decoder,
+    "exp_vae": exp_vae,
+    "exp_vgan": exp_vgan,
+    "exp_dcgan_stage1": exp_dcgan_stage1,
+    "exp_dcgan_stage2": exp_dcgan_stage2,
 }

@@ -22,7 +22,7 @@ from flax import struct
 from fmri_tpu.configs.presets import Config
 from fmri_tpu.models.nets import (
     CognitiveEncoder, Decoder, ImageDiscriminator, LatentDiscriminator,
-    VisualEncoder,
+    VisualEncoder, VoxelDecoder,
 )
 
 
@@ -69,6 +69,14 @@ def init_latent_disc(rng: jax.Array, cfg: Config, init_scheme: str = "normal",
     v = LatentDiscriminator(c, init_scheme=init_scheme).init(
         rng, jnp.zeros((batch, c.latent_dim), jnp.float32))
     return {"params": v["params"], "batch_stats": {}}
+
+
+def init_voxel_decoder(rng: jax.Array, cfg: Config, batch: int = 2) -> Dict[str, Any]:
+    """Initialise the supervised fMRI->image decoder (``exp_decoder.py:172-174``)."""
+    c = cfg.model
+    v = VoxelDecoder(c).init(
+        rng, jnp.zeros((batch, c.num_voxels), jnp.float32), train=True)
+    return {"params": v["params"], "batch_stats": v["batch_stats"]}
 
 
 def make_state(groups: Mapping[str, Dict[str, Any]],

@@ -1,0 +1,115 @@
+"""CLI + evaluation subsystem tests.
+
+Exercises the training CLI end-to-end (synthetic smoke, the reference's MNIST
+analogue), the inference CLI over the produced checkpoint, the evaluation
+helpers, and the user-study scorer.
+"""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    return env
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_run"))
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.train.run", "--family", "vgan",
+         "--stage", "1", "--preset", "tiny", "--dataset", "synthetic",
+         "--epochs", "1", "-o", out],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    runs = []
+    for root, dirs, files in os.walk(out):
+        if "results.csv" in files:
+            runs.append(root)
+    assert len(runs) == 1
+    return runs[0]
+
+
+def test_train_cli_artifacts(trained_run):
+    assert os.path.exists(os.path.join(trained_run, "config.json"))
+    assert os.path.exists(os.path.join(trained_run, "results.csv"))
+    assert os.path.isdir(os.path.join(trained_run, "checkpoints"))
+    with open(os.path.join(trained_run, "results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert float(rows[0]["loss_encoder"]) == float(rows[0]["loss_encoder"])  # not NaN
+
+
+def test_inference_cli(trained_run, tmp_path):
+    out = str(tmp_path / "inf")
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.eval.inference", "--family", "vgan",
+         "--stage", "1", "--preset", "tiny", "--dataset", "synthetic",
+         "--ckpt", os.path.join(trained_run, "checkpoints"),
+         "--no-is", "--save-images", "--resize", "32",
+         "--max-batches", "1", "-o", out],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "summary.json")) as f:
+        summary = json.load(f)
+    assert {"pcc", "ssim", "mse", "objective"} <= set(summary)
+    assert summary["objective"]["top"] == [2, 5, 10]
+    assert os.path.exists(os.path.join(out, "objective.csv"))
+    assert os.path.exists(os.path.join(out, "objective.png"))
+    imgs = os.listdir(os.path.join(out, "images"))
+    assert len(imgs) == summary["num_images"]
+
+
+def test_quality_and_objective_helpers():
+    from fmri_tpu.eval import objective_scores, quality_metrics
+
+    rng = np.random.default_rng(0)
+    targets = rng.uniform(0, 1, (12, 16, 16, 3)).astype(np.float32)
+    # near-perfect reconstructions must win every n-way comparison
+    recons = np.clip(targets + rng.normal(0, 0.01, targets.shape), 0, 1).astype(
+        np.float32)
+    m = quality_metrics(recons, targets, with_is=False)
+    assert m["pcc"] > 0.95 and m["ssim"] > 0.9 and m["mse"] < 1e-3
+    s = objective_scores(recons, targets, tops=(2, 5))
+    assert s["pcc"] == [1.0, 1.0]
+    assert s["ssim"] == [1.0, 1.0]
+
+
+def test_user_study_scorer(tmp_path):
+    from fmri_tpu.eval.user_study import save_preference_chart, score_all, score_task
+
+    # synthetic survey: 4 participants, 5 questions, key = [1,2,1,2,1]
+    key = [1, 2, 1, 2, 1]
+    fields = ["ts", "id"] + [f"q{i}" for i in range(5)]
+    rows = []
+    for p in range(4):
+        row = {"ts": "t", "id": str(p)}
+        for i in range(5):
+            # participants 0-2 answer correctly, participant 3 always Option 1
+            correct = f"Option {key[i]}"
+            row[f"q{i}"] = correct if p < 3 else "Option 1"
+        rows.append(row)
+    path = tmp_path / "results.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+
+    tasks = {"taskX": ((2, 7), key)}
+    scores = score_all(str(path), tasks=tasks)
+    # participant 3 gets the 3 'Option 1' questions right: (15 + 3) / 20
+    assert abs(scores["taskX"] - 18 / 20) < 1e-9
+
+    chart = tmp_path / "chart.png"
+    save_preference_chart(str(chart))
+    assert chart.exists()
