@@ -50,6 +50,10 @@ class ModelConfig:
     num_voxels: int = 3620
     cog_hidden: int = 1024     # CognitiveEncoder fc1 width (vae_gan.py:199)
     wae_disc_hidden: int = 512  # WaeDiscriminator hidden width (vae_gan.py:505)
+    # MXU compute precision: None/'float32' (reference parity) or 'bfloat16'
+    # (TPU fast path: bf16 conv/matmul operands, fp32 accumulation, fp32
+    # params/BatchNorm).  No reference counterpart — PyTorch 1.4 trains fp32.
+    compute_dtype: str | None = None
 
     @property
     def fc_flat(self) -> int:
@@ -158,11 +162,19 @@ def _tiny() -> Config:
     )
 
 
+def _with_bf16(cfg: Config) -> Config:
+    return Config(model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+                  data=cfg.data, train=cfg.train)
+
+
 RES64: Config = _res64()
 RES100: Config = _res100()
 TINY: Config = _tiny()
+RES64_BF16: Config = _with_bf16(RES64)
+RES100_BF16: Config = _with_bf16(RES100)
 
-PRESETS = {"res64": RES64, "res100": RES100, "tiny": TINY}
+PRESETS = {"res64": RES64, "res100": RES100, "tiny": TINY,
+           "res64-bf16": RES64_BF16, "res100-bf16": RES100_BF16}
 
 
 def get_config(name: str = "res64") -> Config:

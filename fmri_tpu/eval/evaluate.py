@@ -60,13 +60,21 @@ def reconstruct_dataset(eval_step, state, batches: Iterable, *,
 def quality_metrics(recons: np.ndarray, targets: np.ndarray, *,
                     with_is: bool = True) -> Dict[str, float]:
     """Mean PCC/SSIM/MSE (+ Inception Score) over full arrays
-    (``train_utils.py:678-749``)."""
+    (``train_utils.py:678-749``).  On TPU the SSIM uses the fused Pallas
+    windowed-moments kernel (``fmri_tpu.ops.pallas_ssim``); elsewhere the XLA
+    depthwise-conv path — both paths are equivalence-tested."""
     import jax.numpy as jnp
 
     r, t = jnp.asarray(recons), jnp.asarray(targets)
+    if jax.devices()[0].platform == "tpu":
+        from fmri_tpu.ops.pallas_ssim import ssim_pallas
+
+        ssim_val = float(ssim_pallas(r, t))
+    else:
+        ssim_val = float(ssim(r, t))
     out = {
         "pcc": float(pearson_correlation(r, t)),
-        "ssim": float(ssim(r, t)),
+        "ssim": ssim_val,
         "mse": float(mse(r, t)),
     }
     if with_is:

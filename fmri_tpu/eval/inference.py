@@ -23,6 +23,20 @@ import sys
 import numpy as np
 
 
+def _apply_platform_override() -> None:
+    """Honor FMRI_TPU_PLATFORM (e.g. 'cpu') even when a site hook pins the
+    JAX platform at interpreter startup (the axon hook overrides
+    JAX_PLATFORMS, so tests/tools need a config-level override)."""
+    plat = os.environ.get("FMRI_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -70,6 +84,7 @@ def make_eval_step(family: str, stage: int, cfg):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _apply_platform_override()
 
     import dataclasses
 

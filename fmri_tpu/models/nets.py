@@ -45,6 +45,19 @@ def _bn(momentum: float = BN_MOMENTUM) -> nn.BatchNorm:
     return nn.BatchNorm(use_running_average=False, momentum=momentum, epsilon=BN_EPS)
 
 
+def _cd(cfg: ModelConfig):
+    """Compute dtype for MXU ops (None = float32; 'bfloat16' = fast path).
+    BatchNorm and parameters always stay float32."""
+    return None if cfg.compute_dtype in (None, "float32") else jnp.dtype(cfg.compute_dtype)
+
+
+def _dense(features, cfg: ModelConfig, *, use_bias=True, kernel_init=None,
+           name=None) -> nn.Dense:
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=kernel_init or ref_uniform_init,
+                    dtype=_cd(cfg), name=name)
+
+
 class EncoderBlock(nn.Module):
     """Conv(k5, s2, p2, no bias) + BN + ReLU with optional pre-BN tap.
 
@@ -56,6 +69,7 @@ class EncoderBlock(nn.Module):
     kernel_size: int = 5
     stride: int = 2
     padding: int = 2
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, tap: bool = False):
@@ -63,7 +77,8 @@ class EncoderBlock(nn.Module):
             "kernel", ref_uniform_init,
             (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
         )
-        y = conv2d(x, kernel, stride=self.stride, padding=self.padding)
+        y = conv2d(x, kernel, stride=self.stride, padding=self.padding,
+                   compute_dtype=self.compute_dtype)
         pre_bn = y
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
@@ -86,6 +101,7 @@ class DecoderBlock(nn.Module):
     kernel_size: int = 5
     stride: int = 2
     padding: int = 2
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -96,6 +112,7 @@ class DecoderBlock(nn.Module):
         y = conv2d_transpose(
             x, kernel, stride=self.stride, padding=self.padding,
             output_padding=1 if self.output_pad else 0,
+            compute_dtype=self.compute_dtype,
         )
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
@@ -112,15 +129,16 @@ class VisualEncoder(nn.Module):
     def __call__(self, x, *, train: bool):
         c = self.cfg
         for feats in c.encoder_channels:
-            x = EncoderBlock(feats, c.kernel_size, c.stride, c.padding)(x, train=train)
+            x = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
+                             c.compute_dtype)(x, train=train)
         x = x.reshape((x.shape[0], -1))
-        x = nn.Dense(c.fc_output, use_bias=False, kernel_init=ref_uniform_init)(x)
+        x = _dense(c.fc_output, c, use_bias=False)(x).astype(jnp.float32)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x)
         x = nn.relu(x)
-        mu = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
-        logvar = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
+        mu = _dense(c.latent_dim, c)(x).astype(jnp.float32)
+        logvar = _dense(c.latent_dim, c)(x).astype(jnp.float32)
         return mu, logvar
 
 
@@ -137,14 +155,14 @@ class CognitiveEncoder(nn.Module):
     @nn.compact
     def __call__(self, v, *, train: bool):
         c = self.cfg
-        x = nn.Dense(c.cog_hidden, use_bias=False, kernel_init=ref_uniform_init,
-                     name="fc1")(v)
+        x = _dense(c.cog_hidden, c, use_bias=False, name="fc1")(v)
+        x = x.astype(jnp.float32)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x)
         x = nn.relu(x)
-        mu = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
-        logvar = nn.Dense(c.latent_dim, kernel_init=ref_uniform_init)(x)
+        mu = _dense(c.latent_dim, c)(x).astype(jnp.float32)
+        logvar = _dense(c.latent_dim, c)(x).astype(jnp.float32)
         return mu, logvar
 
 
@@ -160,11 +178,10 @@ class Decoder(nn.Module):
     def __call__(self, z, *, train: bool):
         c = self.cfg
         size0 = c.encoder_channels[-1]
-        x = nn.Dense(c.fc_input * c.fc_input * size0, use_bias=False,
-                     kernel_init=ref_uniform_init)(z)
+        x = _dense(c.fc_input * c.fc_input * size0, c, use_bias=False)(z)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
-        )(x)
+        )(x.astype(jnp.float32))
         x = nn.relu(x)
         x = x.reshape((x.shape[0], c.fc_input, c.fc_input, size0))
         # Blocks: size0 -> size0 -> decoder_channels[1] -> decoder_channels[2]
@@ -172,11 +189,13 @@ class Decoder(nn.Module):
         feats = (size0, c.decoder_channels[1], c.decoder_channels[2])
         for f, op in zip(feats, c.output_pad_dec):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
-                             stride=c.stride, padding=c.padding)(x, train=train)
+                             stride=c.stride, padding=c.padding,
+                             compute_dtype=c.compute_dtype)(x, train=train)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
-        x = conv2d(x, kernel, stride=1, padding=2) + bias
+        x = conv2d(x, kernel, stride=1, padding=2,
+                   compute_dtype=c.compute_dtype) + bias
         return jnp.tanh(x)
 
 
@@ -199,22 +218,24 @@ class ImageDiscriminator(nn.Module):
         kernel = self.param(
             "in_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.discrim_channels[0]))
         bias = self.param("in_bias", nn.initializers.zeros, (c.discrim_channels[0],))
-        x = nn.relu(conv2d(x, kernel, stride=c.stride_gan, padding=2) + bias)
+        x = nn.relu(conv2d(x, kernel, stride=c.stride_gan, padding=2,
+                           compute_dtype=c.compute_dtype) + bias)
         features = None
         for i, feats in enumerate(c.discrim_channels[1:], start=1):
-            block = EncoderBlock(feats, c.kernel_size, c.stride, c.padding)
+            block = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
+                                 c.compute_dtype)
             if i == c.recon_level:
                 x, pre_bn = block(x, train=train, tap=True)
                 features = pre_bn.reshape((pre_bn.shape[0], -1))
             else:
                 x = block(x, train=train)
         x = x.reshape((x.shape[0], -1))
-        x = nn.Dense(c.fc_output_gan, use_bias=False, kernel_init=ref_uniform_init)(x)
+        x = _dense(c.fc_output_gan, c, use_bias=False)(x).astype(jnp.float32)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x)
         x = nn.relu(x)
-        x = nn.Dense(1, kernel_init=ref_uniform_init)(x)
+        x = _dense(1, c)(x).astype(jnp.float32)
         score = nn.sigmoid(x)
         return features, score
 
@@ -234,10 +255,12 @@ class LatentDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, z):
         k_init = wae_normal_init if self.init_scheme == "normal" else ref_uniform_init
+        cd = _cd(self.cfg)
         x = z
         for _ in range(4):
-            x = nn.relu(nn.Dense(self.cfg.wae_disc_hidden, kernel_init=k_init)(x))
-        x = nn.Dense(1, kernel_init=k_init)(x)
+            x = nn.relu(nn.Dense(self.cfg.wae_disc_hidden, kernel_init=k_init,
+                                 dtype=cd)(x))
+        x = nn.Dense(1, kernel_init=k_init, dtype=cd)(x).astype(jnp.float32)
         return nn.sigmoid(x)
 
 
@@ -254,21 +277,22 @@ class VoxelDecoder(nn.Module):
     def __call__(self, v, *, train: bool):
         c = self.cfg
         size0 = c.encoder_channels[-1]
-        x = nn.Dense(c.fc_input * c.fc_input * size0, use_bias=False,
-                     kernel_init=ref_uniform_init)(v)
+        x = _dense(c.fc_input * c.fc_input * size0, c, use_bias=False)(v)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
-        )(x)
+        )(x.astype(jnp.float32))
         x = jnp.tanh(x)
         x = x.reshape((x.shape[0], c.fc_input, c.fc_input, size0))
         feats = (size0, c.decoder_channels[1], c.decoder_channels[2])
         for f, op in zip(feats, c.output_pad_dec):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
-                             stride=c.stride, padding=c.padding)(x, train=train)
+                             stride=c.stride, padding=c.padding,
+                             compute_dtype=c.compute_dtype)(x, train=train)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
-        x = conv2d(x, kernel, stride=1, padding=2) + bias
+        x = conv2d(x, kernel, stride=1, padding=2,
+                   compute_dtype=c.compute_dtype) + bias
         return jnp.tanh(x)
 
 

@@ -22,17 +22,33 @@ from jax import lax
 DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
+def _cast_operands(x, kernel, compute_dtype):
+    """Optionally run the MXU contraction in a lower precision (bfloat16 —
+    the TPU-native fast path; the MXU accumulates fp32 internally).  Both
+    operands must share a dtype, and the output is cast back to float32 at
+    the op boundary so the rest of the graph (BatchNorm, losses) stays fp32
+    — this also keeps the VJP dtype-consistent."""
+    if compute_dtype is None:
+        return x, kernel, False
+    cd = jnp.dtype(compute_dtype)
+    return x.astype(cd), kernel.astype(cd), True
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0,
+           compute_dtype=None) -> jax.Array:
     """Standard strided conv, matching ``nn.Conv2d(k, s, p)`` shapes.
 
     x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout].
+    ``compute_dtype='bfloat16'`` feeds the MXU in bf16 (fp32 result).
     """
-    return lax.conv_general_dilated(
+    x, kernel, cast_back = _cast_operands(x, kernel, compute_dtype)
+    out = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=DIMSPEC,
     )
+    return out.astype(jnp.float32) if cast_back else out
 
 
 def conv2d_transpose(
@@ -41,6 +57,7 @@ def conv2d_transpose(
     stride: int = 2,
     padding: int = 2,
     output_padding: int = 0,
+    compute_dtype=None,
 ) -> jax.Array:
     """Transposed conv matching ``nn.ConvTranspose2d`` output geometry
     (``models/vae_gan.py:46-53``): out = (in-1)*stride - 2*padding + k + output_padding.
@@ -51,13 +68,15 @@ def conv2d_transpose(
     k = kernel.shape[0]
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
-    return lax.conv_general_dilated(
+    x, kernel, cast_back = _cast_operands(x, kernel, compute_dtype)
+    out = lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),
         padding=[(lo, hi), (lo, hi)],
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMSPEC,
     )
+    return out.astype(jnp.float32) if cast_back else out
 
 
 def depthwise_conv2d(x: jax.Array, kernel: jax.Array, padding: int = 0) -> jax.Array:

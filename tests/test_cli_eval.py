@@ -18,6 +18,7 @@ import pytest
 def _env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["FMRI_TPU_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         " --xla_force_host_platform_device_count=8").strip()
     return env
