@@ -298,3 +298,53 @@ def test_adam_matches_torch():
     for g in grads:
         p, st = opt.update(jnp.asarray(g), st, p, jnp.float32(1e-3), 1.0)
     np.testing.assert_allclose(np.asarray(p), p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+class TestSplicedBackward:
+    """The spliced segment-wise backward must produce identical updates to
+    the naive three-pullback backward (reference gradient semantics,
+    ``train_vgan_stage1.py:406-432``) in every mode."""
+
+    @pytest.mark.parametrize("mode", ["vae-gan", "beta-vae", "vae", "dcgan"])
+    def test_spliced_equals_naive(self, mode):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.train import (
+            RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
+        )
+
+        cfg = TINY
+        groups = init_vaegan(jax.random.key(0), cfg)
+        g = {k: {"params": groups["params"][k],
+                 "batch_stats": groups["batch_stats"][k]}
+             for k in groups["params"]}
+        x = jax.random.uniform(
+            jax.random.key(1),
+            (8, cfg.model.image_size, cfg.model.image_size, 3),
+            minval=-1.0, maxval=1.0)
+        args = (x, jax.random.key(2), jnp.float32(0.35), jnp.float32(0.68),
+                jnp.float32(0.3))
+        results = {}
+        for backward in ("naive", "spliced"):
+            step = make_vgan_stage1_step(cfg, mode, donate=False,
+                                         backward=backward)
+            state = make_state(g, {k: RmsProp() for k in g})
+            new_state, metrics = step.train_step(state, *args)
+            results[backward] = (new_state, metrics)
+        sn, mn = results["naive"]
+        ss, ms = results["spliced"]
+        for k in mn:
+            np.testing.assert_allclose(float(np.asarray(mn[k])),
+                                       float(np.asarray(ms[k])),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+        for a, b_ in zip(jax.tree_util.tree_leaves(sn.params),
+                         jax.tree_util.tree_leaves(ss.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-6)
+        for a, b_ in zip(jax.tree_util.tree_leaves(sn.batch_stats),
+                         jax.tree_util.tree_leaves(ss.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-6)
