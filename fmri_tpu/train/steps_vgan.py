@@ -265,7 +265,8 @@ def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
 
 def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
                              use_teacher: bool = True, lr_schedule=None,
-                             donate: bool = True) -> StepFns:
+                             donate: bool = True,
+                             backward: str = "spliced") -> StepFns:
     """Stage-II/III cognitive VAE/GAN step
     (``train_vgan_stage2.py`` / ``train_vgan_stage3.py``).
 
@@ -320,14 +321,7 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
                      "discriminator": disc_s, "teacher_encoder": teach_s}
         return terms, new_stats, (gt_x, x_tilde)
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng,
-                   margin, equilibrium, lambda_mse):
-        fmri, image = batch["fmri"], batch["image"]
-        b = fmri.shape[0]
-        k_eps, k_t, k_zp = jax.random.split(rng, 3)
-        eps = jax.random.normal(k_eps, (b, c.latent_dim), jnp.float32)
-        eps_t = jax.random.normal(k_t, (b, c.latent_dim), jnp.float32)
-        z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
+    def grads_naive(state, fmri, image, eps, eps_t, z_p, lambda_mse, b):
         p = state.params
 
         def heads_fn(cog_p, dec_p, disc_p):
@@ -342,6 +336,148 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
             heads_fn, p["encoder"], p["decoder"], p["discriminator"], has_aux=True)
         terms, new_stats, h = aux
         one, zero = jnp.float32(1.0), jnp.float32(0.0)
+        if stage == 2:
+            g_enc = vjp_fn((one, zero, zero))[0]
+            g_dec = None
+        else:
+            g_enc = None
+            g_dec = vjp_fn((zero, one, zero))[1]
+        g_dis = vjp_fn((zero, zero, one))[2]
+        return g_enc, g_dec, g_dis, terms, new_stats, h
+
+    def grads_spliced(state, fmri, image, eps, eps_t, z_p, lambda_mse, b):
+        """Segment-wise backward (see ``make_vgan_stage1_step``): frozen
+        groups never get a backward pass (the naive pullback wastes weight
+        gradients on the frozen decoder in stage 2 and traverses the teacher
+        graph), and the discriminator backward runs once per base loss."""
+        p = state.params
+        stats = state.batch_stats
+        uses_B = mode in ("vae-gan", "beta-vae")
+
+        def enc_fn(cog_p):
+            (mu, lv), s = apply_with_stats(cog, cog_p, stats["encoder"],
+                                           fmri, train=True)
+            z = mu + eps * jnp.exp(0.5 * lv)
+            return (z, mu, lv), s
+
+        # --- teacher / gt_x, sampled decode, stats threading as in forward ---
+        if stage == 2:
+            (z, mu, lv), enc_vjp, cog_s = jax.vjp(enc_fn, p["encoder"],
+                                                  has_aux=True)
+
+            def decz_fn(z_in):
+                return apply_with_stats(dec, p["decoder"], stats["decoder"],
+                                        z_in, train=True)
+
+            x_tilde, dec_vjp_z, dec_s = jax.vjp(decz_fn, z, has_aux=True)
+        else:
+            (z, mu, lv), cog_s = enc_fn(p["encoder"])  # frozen: no vjp
+
+        teach_s = stats.get("teacher_encoder", {})
+        if stage == 2:
+            if distill:
+                (mu_t, lv_t), teach_s = apply_with_stats(
+                    teacher_enc, p["teacher_encoder"], stats["teacher_encoder"],
+                    image, train=True)
+                z_t = mu_t + eps_t * jnp.exp(0.5 * lv_t)
+                gt_x, dec_s = apply_with_stats(dec, p["decoder"], dec_s, z_t,
+                                               train=True)
+            else:
+                gt_x = image
+            x_p, dec_s = apply_with_stats(dec, p["decoder"], dec_s, z_p,
+                                          train=True)
+
+            def disc_fn(disc_p, xt):
+                concat = jnp.concatenate([gt_x, xt, x_p], axis=0)
+                return apply_with_stats(disc, disc_p, stats["discriminator"],
+                                        concat, train=True)
+
+            (feats, score), disc_vjp, disc_s = jax.vjp(
+                disc_fn, p["discriminator"], x_tilde, has_aux=True)
+        else:
+            gt_x = image  # distillation requires stage == 2 (vae_gan.py:367)
+
+            def dec_fn(dec_p):
+                xt, s1 = apply_with_stats(dec, dec_p, stats["decoder"], z,
+                                          train=True)
+                xp, s2 = apply_with_stats(dec, dec_p, s1, z_p, train=True)
+                return (xt, xp), s2
+
+            (x_tilde, x_p), dec_vjp, dec_s = jax.vjp(dec_fn, p["decoder"],
+                                                     has_aux=True)
+
+            def disc_fn(disc_p, xt, xp):
+                concat = jnp.concatenate([gt_x, xt, xp], axis=0)
+                return apply_with_stats(disc, disc_p, stats["discriminator"],
+                                        concat, train=True)
+
+            (feats, score), disc_vjp, disc_s = jax.vjp(
+                disc_fn, p["discriminator"], x_tilde, x_p, has_aux=True)
+
+        fo, fpr, so, sp, ss = _split_triplet(feats, score, b)
+        terms = vaegan_terms(gt_x, x_tilde, fo, fpr, so, sp, ss, mu, lv)
+        h = combine_mode(terms, mode, lambda_mse=lambda_mse,
+                         beta=t.beta, batch_size=b)
+        new_stats = {"encoder": cog_s, "decoder": dec_s,
+                     "discriminator": disc_s, "teacher_encoder": teach_s}
+
+        def C_fn(score_):
+            so_, sp_, ss_ = score_[:b], score_[b : 2 * b], score_[2 * b :]
+            l = jnp.sum(-jnp.log(so_ + 1e-3)) + jnp.sum(-jnp.log(1.0 - ss_ + 1e-3))
+            if uses_B:
+                l = l + jnp.sum(-jnp.log(1.0 - sp_ + 1e-3))
+            return l
+
+        cot_score_C = jax.grad(C_fn)(score)
+        zero_feats = jnp.zeros_like(feats)
+        lam = lambda_mse
+
+        if stage == 2:
+            gdiscC, _ = disc_vjp((zero_feats, cot_score_C))
+            g_dis = gdiscC
+            if uses_B:
+                def B_fn(feats_):
+                    return jnp.sum(0.5 * (feats_[:b] - feats_[b : 2 * b]) ** 2)
+
+                cot_feats_B = jax.grad(B_fn)(feats)
+                _, cot_xt_enc = disc_vjp((cot_feats_B, jnp.zeros_like(score)))
+            else:  # 'vae': L_enc = kld + NLE (nle w.r.t. x_tilde)
+                cot_xt_enc = x_tilde - gt_x
+            gz = dec_vjp_z(cot_xt_enc)[0]
+            kA = (t.beta / b) if mode == "beta-vae" else 1.0
+            g_enc = enc_vjp((gz, kA * mu, kA * 0.5 * (jnp.exp(lv) - 1.0)))[0]
+            g_dec = None
+        else:
+            gdiscC, gxtC, gxpC = disc_vjp((zero_feats, cot_score_C))
+            g_dis = gdiscC
+            if uses_B:
+                def B_fn(feats_):
+                    return jnp.sum(0.5 * (feats_[:b] - feats_[b : 2 * b]) ** 2)
+
+                cot_feats_B = jax.grad(B_fn)(feats)
+                _, gxtB, gxpB = disc_vjp((cot_feats_B, jnp.zeros_like(score)))
+                cot_dec = (lam * gxtB - (1.0 - lam) * gxtC,
+                           lam * gxpB - (1.0 - lam) * gxpC)
+            else:  # 'vae': L_dec = lam * NLE
+                cot_dec = (lam * (x_tilde - gt_x), jnp.zeros_like(x_p))
+            g_dec = dec_vjp(cot_dec)[0]
+            g_enc = None
+        return g_enc, g_dec, g_dis, terms, new_stats, h
+
+    grads_fn = grads_spliced if backward == "spliced" else grads_naive
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng,
+                   margin, equilibrium, lambda_mse):
+        fmri, image = batch["fmri"], batch["image"]
+        b = fmri.shape[0]
+        k_eps, k_t, k_zp = jax.random.split(rng, 3)
+        eps = jax.random.normal(k_eps, (b, c.latent_dim), jnp.float32)
+        eps_t = jax.random.normal(k_t, (b, c.latent_dim), jnp.float32)
+        z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
+        p = state.params
+
+        g_enc, g_dec, g_dis, terms, new_stats, h = grads_fn(
+            state, fmri, image, eps, eps_t, z_p, lambda_mse, b)
         lr = lr_schedule(state.step)
         new_params = dict(p)
         new_opt = dict(state.opt_state)
@@ -349,8 +485,6 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
         if stage == 2:
             # encoder + discriminator always train; decoder frozen
             # (train_vgan_stage2.py:376-407).
-            g_enc = vjp_fn((one, zero, zero))[0]
-            g_dis = vjp_fn((zero, zero, one))[2]
             dec_gate = jnp.asarray(False)
             dis_gate = jnp.asarray(True)
             new_params["encoder"], new_opt["encoder"] = opt.update(
@@ -360,8 +494,6 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
         else:
             # stage 3: decoder + discriminator with the equilibrium gate
             # (train_vgan_stage3.py:377-410); encoder frozen.
-            g_dec = vjp_fn((zero, one, zero))[1]
-            g_dis = vjp_fn((zero, zero, one))[2]
             dec_gate, dis_gate = equilibrium_gate(
                 terms, equilibrium, margin, init_dis=(mode != "vae"))
             new_params["decoder"], new_opt["decoder"] = opt.update(

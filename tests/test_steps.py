@@ -348,3 +348,66 @@ class TestSplicedBackward:
                          jax.tree_util.tree_leaves(ss.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("stage,mode,teacher", [
+        (2, "vae-gan", True), (2, "vae", False), (3, "vae-gan", False),
+    ])
+    def test_cognitive_spliced_equals_naive(self, stage, mode, teacher):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.train import (
+            RmsProp, init_cognitive, init_vaegan, make_state,
+            make_vgan_cognitive_step,
+        )
+
+        cfg = TINY
+        ks = jax.random.split(jax.random.key(0), 2)
+        vg = init_vaegan(ks[0], cfg)
+        cogg = init_cognitive(ks[1], cfg)
+        groups = {
+            "encoder": cogg,
+            "decoder": {"params": vg["params"]["decoder"],
+                        "batch_stats": vg["batch_stats"]["decoder"]},
+            "discriminator": {"params": vg["params"]["discriminator"],
+                              "batch_stats": vg["batch_stats"]["discriminator"]},
+            "teacher_encoder": {"params": vg["params"]["encoder"],
+                                "batch_stats": vg["batch_stats"]["encoder"]},
+        }
+        trainable = (("encoder", "discriminator") if stage == 2
+                     else ("decoder", "discriminator"))
+        batch = {
+            "fmri": jax.random.normal(jax.random.key(1),
+                                      (8, cfg.model.num_voxels)),
+            "image": jax.random.uniform(
+                jax.random.key(2),
+                (8, cfg.model.image_size, cfg.model.image_size, 3),
+                minval=-1.0, maxval=1.0),
+        }
+        args = (batch, jax.random.key(3), jnp.float32(0.35), jnp.float32(0.68),
+                jnp.float32(0.3))
+        results = {}
+        for backward in ("naive", "spliced"):
+            step = make_vgan_cognitive_step(cfg, stage, mode,
+                                            use_teacher=teacher, donate=False,
+                                            backward=backward)
+            state = make_state(groups,
+                               {k: RmsProp(clip=1.0) for k in trainable})
+            new_state, metrics = step.train_step(state, *args)
+            results[backward] = (new_state, metrics)
+        sn, mn = results["naive"]
+        ss, ms = results["spliced"]
+        for k in mn:
+            np.testing.assert_allclose(float(np.asarray(mn[k])),
+                                       float(np.asarray(ms[k])),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+        for a, b_ in zip(jax.tree_util.tree_leaves(sn.params),
+                         jax.tree_util.tree_leaves(ss.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-6)
+        for a, b_ in zip(jax.tree_util.tree_leaves(sn.batch_stats),
+                         jax.tree_util.tree_leaves(ss.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-6)
