@@ -296,6 +296,86 @@ class VoxelDecoder(nn.Module):
         return jnp.tanh(x)
 
 
+class WaeDecoder(nn.Module):
+    """Alternate wide (1024-channel) decoder — **dead code in the reference**
+    (``vae_gan.py:625-655``, only a commented call site at ``:446``), kept for
+    capability parity: Dense(z -> 16*16*1024) + BN + ReLU -> DecoderBlocks
+    1024->512->256->128 -> Conv(->3) + Tanh."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z, *, train: bool):
+        c = self.cfg
+        x = _dense(c.fc_input * c.fc_input * 1024, c, use_bias=False)(z)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(x.astype(jnp.float32))
+        x = nn.relu(x)
+        x = x.reshape((x.shape[0], c.fc_input, c.fc_input, 1024))
+        for f, op in zip((512, 256, 128), c.output_pad_dec):
+            x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
+                             stride=c.stride, padding=c.padding,
+                             compute_dtype=c.compute_dtype)(x, train=train)
+        kernel = self.param("out_kernel", ref_uniform_init, (5, 5, x.shape[-1], 3))
+        bias = self.param("out_bias", nn.initializers.zeros, (3,))
+        x = conv2d(x, kernel, stride=1, padding=2,
+                   compute_dtype=c.compute_dtype) + bias
+        return jnp.tanh(x)
+
+
+class _ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        bn = lambda y: nn.BatchNorm(use_running_average=not train,
+                                    momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
+        h = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    use_bias=False)(x)
+        h = nn.relu(bn(h))
+        h = nn.Conv(self.features, (3, 3), use_bias=False)(h)
+        h = bn(h)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
+                        use_bias=False)(x)
+            x = bn(x)
+        return nn.relu(h + x)
+
+
+class ResNetEncoder(nn.Module):
+    """Residual VAE encoder — **dead code in the reference**
+    (``vae_gan.py:658-702``, only a commented call site at ``:245``), kept for
+    capability parity.  The reference wraps torchvision's *pretrained*
+    resnet152 trunk; pretrained torchvision weights are not shippable in this
+    offline TPU build, so the trunk here is a compact residual stack trained
+    from scratch with the same head contract: trunk -> GAP ->
+    Dense(1024)+BN -> Dense(768)+BN -> (mu, logvar) heads
+    (``vae_gan.py:677-686,693-702``)."""
+
+    cfg: ModelConfig
+    fc_hidden1: int = 1024
+    fc_hidden2: int = 768
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        c = self.cfg
+        bn1d = lambda y: nn.BatchNorm(use_running_average=not train,
+                                      momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
+        h = nn.Conv(64, (7, 7), (2, 2), use_bias=False)(x)
+        h = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS)(h))
+        for feats, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
+            h = _ResBlock(feats, stride)(h, train=train)
+        h = jnp.mean(h, axis=(1, 2))  # global average pool (resnet avgpool)
+        h = nn.relu(bn1d(nn.Dense(self.fc_hidden1)(h)))
+        h = nn.relu(bn1d(nn.Dense(self.fc_hidden2)(h)))
+        mu = nn.Dense(c.latent_dim)(h)
+        logvar = nn.Dense(c.latent_dim)(h)
+        return mu, logvar
+
+
 def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Array:
     """z = mu + eps * exp(logvar/2), eps ~ N(0, I)  (``vae_gan.py:266-269``)."""
     eps = jax.random.normal(rng, mu.shape, mu.dtype)

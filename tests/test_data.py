@@ -316,3 +316,52 @@ def test_device_iterator_with_mesh():
     out = list(device_iterator(iter(Batches(data, 8)), mesh=mesh, voxel_tp=True))
     assert len(out) == 1
     assert out[0]["image"].shape == (8, 4, 4, 3)
+
+
+def test_prepare_cli_end_to_end(tmp_path, roi_dir, image_dir):
+    """The ETL CLI chain on synthetic fixtures: extract-roi -> stimuli-paths
+    -> split-stimuli -> pack (reference ETL mains, roi_extraction.py /
+    data_loader.py __main__)."""
+    import csv as _csv
+    import json
+    import io
+    from contextlib import redirect_stdout
+
+    from fmri_tpu.data import prepare
+
+    # fake bold index whose stimuli live in a 10-image dir
+    img10 = tmp_path / "imgs10"
+    img10.mkdir()
+    rng = np.random.default_rng(9)
+    for i in range(10):
+        _write_png(img10 / f"img_{i:03d}.png",
+                   rng.integers(0, 255, (40, 50, 3), dtype=np.uint8))
+    idx = {"img_name": [f"img_{i:03d}.png" for i in range(10)],
+           "stimuli_path": [os.path.join(str(img10), f"img_{i:03d}.png")
+                            for i in range(10)]}
+    bold_pickle = tmp_path / "bold5000.pickle"
+    with open(bold_pickle, "wb") as f:
+        pickle.dump(idx, f)
+
+    out_roi = str(tmp_path / "bold_roi")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        prepare.main(["extract-roi", "-i", roi_dir, "-o", out_roi,
+                      "--subjects", "CSI1", "CSI2"])
+        prepare.main(["stimuli-paths", "-i", os.path.join(roi_dir, "stim_lists"),
+                      "--bold-index", str(bold_pickle), "-o", out_roi])
+        prepare.main(["split-stimuli",
+                      "-i", os.path.join(roi_dir, "stim_lists",
+                                         "CSI01_stim_lists.txt"),
+                      "-o", out_roi])
+        prepare.main(["pack", "-i", out_roi, "-o", str(tmp_path / "packed"),
+                      "--subjects", "CSI1", "CSI2", "--crop", "32",
+                      "--size", "16"])
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert lines[0] == {"CSI1": [10, 15], "CSI2": [10, 15]}
+    assert lines[1] == {"CSI1": 10, "CSI2": 10}
+    assert lines[2] == {"train": 9, "valid": 1}
+    packed = np.load(tmp_path / "packed" / "bold_train.npz")
+    assert packed["fmri"].shape[1] == 15
+    assert packed["images"].shape[1:] == (16, 16, 3)
+    assert os.path.exists(tmp_path / "packed" / "bold_valid.pickle")

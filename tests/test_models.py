@@ -136,3 +136,38 @@ def test_batchnorm_matches_torch_momentum():
     _, updates = bn.apply(variables, x, mutable=["batch_stats"])
     np.testing.assert_allclose(
         np.asarray(updates["batch_stats"]["mean"]), 0.9 * 2.0, rtol=1e-6)
+
+
+def test_wae_decoder_shapes():
+    """WaeDecoder (dead code in the reference, vae_gan.py:625-655): wide
+    1024-channel decoder produces tanh images at the preset resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.models import WaeDecoder
+
+    c = TINY.model
+    z = jnp.zeros((2, c.latent_dim))
+    m = WaeDecoder(c)
+    v = m.init(jax.random.key(0), z, train=True)
+    y = m.apply(v, z, train=False)
+    assert y.shape == (2, c.image_size, c.image_size, 3)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0
+
+
+def test_resnet_encoder_shapes():
+    """ResNetEncoder (dead code in the reference, vae_gan.py:658-702):
+    residual trunk + (mu, logvar) heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.models import ResNetEncoder
+
+    c = TINY.model
+    x = jnp.zeros((2, c.image_size, c.image_size, 3))
+    m = ResNetEncoder(c)
+    v = m.init(jax.random.key(0), x, train=True)
+    mu, lv = m.apply(v, x, train=False)
+    assert mu.shape == (2, c.latent_dim) and lv.shape == (2, c.latent_dim)
