@@ -126,3 +126,71 @@ def test_wae_losses():
     np.testing.assert_allclose(
         float(wae_penalty_mean(jnp.asarray(d_real))),
         -10 * np.mean(np.log(d_real + 1e-3)), rtol=1e-5)
+
+
+class TestAuxLosses:
+    """Auxiliary losses (train_utils.py:72-264) vs torch oracles."""
+
+    def test_voxel_loss_matches_torch(self):
+        import numpy as np
+        import torch
+        import torch.nn as tnn
+        import jax.numpy as jnp
+
+        from fmri_tpu.losses import voxel_loss
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(6, 20)).astype(np.float32)
+        b = rng.normal(size=(6, 20)).astype(np.float32)
+        ta, tb = torch.tensor(a), torch.tensor(b)
+        oracle = (tnn.MSELoss()(ta, tb) +
+                  (1 - tnn.CosineSimilarity(dim=1)(ta, tb).mean())).item()
+        ours = float(voxel_loss(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(ours, oracle, rtol=1e-5)
+
+    def test_tv_losses_match_torch(self):
+        import numpy as np
+        import torch
+        import jax.numpy as jnp
+
+        from fmri_tpu.losses import (
+            total_variation_l1, total_variation_l2, total_variation_loss,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        tx = torch.tensor(np.transpose(x, (0, 3, 1, 2)))  # NCHW oracle
+
+        a = torch.sqrt(torch.abs(tx[:, :, :-1, :-1] - tx[:, :, 1:, :-1]))
+        b = torch.sqrt(torch.abs(tx[:, :, :-1, :-1] - tx[:, :, :-1, 1:]))
+        o_tv = torch.mean(torch.pow(a + b, 1.25)).item()
+        o_l1 = torch.mean(torch.abs(tx[:, :, :-1, :-1] - tx[:, :, 1:, :-1]) +
+                          torch.abs(tx[:, :, :-1, :-1] - tx[:, :, :-1, 1:])).item()
+        a2 = torch.pow(tx[:, :, :-1, :-1] - tx[:, :, 1:, :-1], 2)
+        b2 = torch.pow(tx[:, :, :-1, :-1] - tx[:, :, :-1, 1:], 2)
+        o_l2 = torch.mean(torch.sqrt(a2 + b2)).item()
+
+        jx = jnp.asarray(x)
+        np.testing.assert_allclose(float(total_variation_loss(jx)), o_tv, rtol=1e-3)
+        np.testing.assert_allclose(float(total_variation_l1(jx)), o_l1, rtol=1e-5)
+        np.testing.assert_allclose(float(total_variation_l2(jx)), o_l2, rtol=1e-3)
+
+    def test_image_and_feature_losses(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from fmri_tpu.losses import (
+            feature_cosine_loss, feature_loss, image_loss,
+            norm_image_prediction,
+        )
+
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+        assert float(image_loss(a, b)) > 0.0
+        # the reference's vgg_loss normalizes ONLY the prediction
+        # (train_utils.py:152); zero distance needs a pre-normalized target
+        assert float(feature_loss(a, norm_image_prediction(a))) < 1e-6
+        np.testing.assert_allclose(float(feature_cosine_loss(a, a, depths=(1, 2))),
+                                   -2.0, atol=1e-5)
+        assert float(feature_loss(a, b)) > 0.0
