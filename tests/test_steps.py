@@ -411,3 +411,65 @@ class TestSplicedBackward:
                          jax.tree_util.tree_leaves(ss.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestSupervisedLoops:
+    """Generic supervised loops (train_utils.py:474-675)."""
+
+    def test_decoder_mode_learns(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.data.pipeline import Batches
+        from fmri_tpu.models.nets import VoxelDecoder
+        from fmri_tpu.train import RmsProp
+        from fmri_tpu.train.optim import Adam
+        from fmri_tpu.train.state import TrainState
+        from fmri_tpu.train.supervised import (
+            make_supervised_step, run_epoch, run_validation,
+        )
+
+        cfg = TINY.model
+        module = VoxelDecoder(cfg)
+        v = module.init(jax.random.key(0),
+                        jnp.zeros((2, cfg.num_voxels)), train=True)
+        opt = Adam(b1=0.9, b2=0.999)
+        state = TrainState(params={"model": v["params"]},
+                           batch_stats={"model": v["batch_stats"]},
+                           opt_state={"model": opt.init(v["params"])},
+                           step=jnp.zeros((), jnp.int32))
+        loss_fn = lambda out, gt: jnp.mean((out - gt) ** 2)
+        train_step, eval_step = make_supervised_step(
+            module, opt, loss_fn, "decoder",
+            lr_schedule=lambda s: jnp.float32(1e-2))
+
+        rng = np.random.default_rng(0)
+        data = {"fmri": rng.normal(size=(16, cfg.num_voxels)).astype(np.float32),
+                "image": rng.uniform(-1, 1, (16, cfg.image_size,
+                                             cfg.image_size, 3)).astype(np.float32)}
+        losses = []
+        for _ in range(4):
+            state, m = run_epoch(train_step, state, iter(Batches(data, 8)))
+            losses.append(m["loss"])
+        assert losses[-1] < losses[0]
+        vm = run_validation(eval_step, state, iter(Batches(data, 8)))
+        assert np.isfinite(vm["loss"])
+
+    def test_mode_routing(self):
+        import numpy as np
+
+        from fmri_tpu.train.supervised import route_batch
+
+        batch = {"fmri": np.ones(3), "image": np.zeros(3)}
+        i, t = route_batch("encoder", batch)
+        assert i is batch["image"] and t is batch["fmri"]
+        i, t = route_batch("cogenc", batch)
+        assert i is batch["fmri"] and t is batch["image"]
+        x = np.ones(4)
+        i, t = route_batch("vae", x)
+        assert i is x and t is x
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            route_batch("nope", batch)
