@@ -268,7 +268,7 @@ def make_wae_cognitive_step(cfg: Config, stage: int, lr_schedule_enc=None,
 
 
 def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
-                       donate: bool = True) -> StepFns:
+                       donate: bool = True, backward: str = "spliced") -> StepFns:
     """Stage-I WAE/Dual-GAN step (``train/wae_vgan_stage1.py``): the full
     VAE/GAN step plus a latent discriminator regularising the encoder posterior.
 
@@ -307,14 +307,8 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
                      "latent_disc": {}}
         return terms, new_stats, mu
 
-    def train_step(state: TrainState, x, rng, margin, equilibrium, lambda_mse):
-        b = x.shape[0]
-        k_eps, k_zp, k_zf = jax.random.split(rng, 3)
-        eps = jax.random.normal(k_eps, (b, c.latent_dim), jnp.float32)
-        z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
-        z_fake = sigma * jax.random.normal(k_zf, (b, c.latent_dim), jnp.float32)
+    def grads_naive(state, x, eps, z_p, lambda_mse, b):
         p = state.params
-        lr = lr_schedule(state.step)
 
         def heads_fn(enc_p, dec_p, disc_p):
             terms, new_stats, mu = forward(
@@ -331,6 +325,115 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
         g_dec = vjp_fn((zero, one, zero))[1]
         g_dis = vjp_fn((zero, zero, one))[2]
 
+        def add_mu_cot(cot_mu):
+            """Penalty grads via a full re-traversal (reference :405-414)."""
+
+            def pen_path(enc_p):
+                (mu2, _), _ = apply_with_stats(
+                    enc, enc_p, state.batch_stats["encoder"], x, train=True)
+                return jnp.vdot(jax.lax.stop_gradient(cot_mu), mu2)
+
+            return jax.grad(pen_path)(p["encoder"])
+
+        return g_enc, g_dec, g_dis, terms, new_stats, h, mu, add_mu_cot
+
+    def grads_spliced(state, x, eps, z_p, lambda_mse, b):
+        """Segment-wise backward (see ``make_vgan_stage1_step``); the latent-D
+        penalty joins the encoder backward as an extra cotangent at ``mu``
+        instead of the reference's third full encoder traversal."""
+        p = state.params
+        stats = state.batch_stats
+        uses_B = mode in ("vae-gan", "beta-vae")
+
+        def enc_fn(enc_p):
+            (mu, lv), s = apply_with_stats(enc, enc_p, stats["encoder"], x,
+                                           train=True)
+            z = mu + eps * jnp.exp(0.5 * lv)
+            return (z, mu, lv), s
+
+        (z, mu, lv), enc_vjp, enc_s = jax.vjp(enc_fn, p["encoder"], has_aux=True)
+
+        def dec_fn(dec_p, z_in):
+            xt, s1 = apply_with_stats(dec, dec_p, stats["decoder"], z_in,
+                                      train=True)
+            xp, s2 = apply_with_stats(dec, dec_p, s1, z_p, train=True)
+            return (xt, xp), s2
+
+        (x_tilde, x_p), dec_vjp, dec_s = jax.vjp(dec_fn, p["decoder"], z,
+                                                 has_aux=True)
+
+        def disc_fn(disc_p, xt, xp):
+            concat = jnp.concatenate([x, xt, xp], axis=0)
+            return apply_with_stats(disc, disc_p, stats["discriminator"],
+                                    concat, train=True)
+
+        (feats, score), disc_vjp, disc_s = jax.vjp(
+            disc_fn, p["discriminator"], x_tilde, x_p, has_aux=True)
+
+        fo, fpr, so, sp, ss = _split_triplet(feats, score, b)
+        terms = vaegan_terms(x, x_tilde, fo, fpr, so, sp, ss, mu, lv)
+        h = combine_mode(terms, mode, lambda_mse=lambda_mse,
+                         beta=t.beta, batch_size=b)
+        new_stats = {"encoder": enc_s, "decoder": dec_s,
+                     "discriminator": disc_s, "latent_disc": {}}
+
+        def C_fn(score_):
+            so_, sp_, ss_ = score_[:b], score_[b : 2 * b], score_[2 * b :]
+            l = jnp.sum(-jnp.log(so_ + LOG_EPS)) + jnp.sum(-jnp.log(1.0 - ss_ + LOG_EPS))
+            if uses_B:
+                l = l + jnp.sum(-jnp.log(1.0 - sp_ + LOG_EPS))
+            return l
+
+        cot_score_C = jax.grad(C_fn)(score)
+        gdiscC, gxtC, gxpC = disc_vjp((jnp.zeros_like(feats), cot_score_C))
+        g_dis = gdiscC
+        lamb = lambda_mse
+        if uses_B:
+            def B_fn(feats_):
+                return jnp.sum(0.5 * (feats_[:b] - feats_[b : 2 * b]) ** 2)
+
+            cot_feats_B = jax.grad(B_fn)(feats)
+            _, gxtB, gxpB = disc_vjp((cot_feats_B, jnp.zeros_like(score)))
+            cot_dec = (lamb * gxtB - (1.0 - lamb) * gxtC,
+                       lamb * gxpB - (1.0 - lamb) * gxpC)
+            cot_enc_img = gxtB
+        else:
+            cot_nle = x_tilde - x
+            if mode == "dcgan":
+                cot_dec = (lamb * cot_nle - (1.0 - lamb) * gxtC,
+                           -(1.0 - lamb) * gxpC)
+            else:
+                cot_dec = (lamb * cot_nle, jnp.zeros_like(x_p))
+            cot_enc_img = cot_nle
+
+        g_dec, _ = dec_vjp(cot_dec)
+        _, gz_enc = dec_vjp((cot_enc_img, jnp.zeros_like(x_p)))
+        kA = (t.beta / b) if mode == "beta-vae" else 1.0
+        base_cots = (gz_enc, kA * mu, kA * 0.5 * (jnp.exp(lv) - 1.0))
+        g_enc = enc_vjp(base_cots)[0]
+
+        def add_mu_cot(cot_mu):
+            """Extra encoder grads for a given cotangent at mu — one more
+            (cheap) encoder backward, no decoder/discriminator traversal."""
+            zero_z = jnp.zeros_like(z)
+            return enc_vjp((zero_z, cot_mu, jnp.zeros_like(lv)))[0]
+
+        return g_enc, g_dec, g_dis, terms, new_stats, h, mu, add_mu_cot
+
+    grads_fn = grads_spliced if backward == "spliced" else grads_naive
+
+    def train_step(state: TrainState, x, rng, margin, equilibrium, lambda_mse):
+        b = x.shape[0]
+        k_eps, k_zp, k_zf = jax.random.split(rng, 3)
+        eps = jax.random.normal(k_eps, (b, c.latent_dim), jnp.float32)
+        z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
+        z_fake = sigma * jax.random.normal(k_zf, (b, c.latent_dim), jnp.float32)
+        p = state.params
+        lr = lr_schedule(state.step)
+
+        g_enc, g_dec, g_dis, terms, new_stats, h, mu, add_mu_cot = grads_fn(
+            state, x, eps, z_p, lambda_mse, b)
+
         # ---- latent discriminator update (:380-397) ----
         def d_loss(ld_p):
             d_real = ldisc.apply({"params": ld_p}, mu)
@@ -345,14 +448,15 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
             g_ld, state.opt_state["latent_disc"], p["latent_disc"], lr, 1.0)
 
         # ---- penalty vs updated latent D, accumulated into encoder grads
-        #      (:405-414,421-425) ----
-        def pen_loss(enc_p):
-            (mu2, _), _ = apply_with_stats(
-                enc, enc_p, state.batch_stats["encoder"], x, train=True)
-            d_real = ldisc.apply({"params": new_ld}, mu2)
+        #      (:405-414,421-425): cotangent at mu, pushed through the
+        #      encoder backward ----
+        def pen_of_mu(mu_):
+            d_real = ldisc.apply({"params": new_ld}, mu_)
             return wae_penalty_sum(d_real, lam)
 
-        loss_pen, g_pen = jax.value_and_grad(pen_loss)(p["encoder"])
+        loss_pen, cot_mu_pen = jax.value_and_grad(pen_of_mu)(
+            jax.lax.stop_gradient(mu))
+        g_pen = add_mu_cot(cot_mu_pen)
         g_enc = jax.tree_util.tree_map(jnp.add, g_enc, g_pen)
 
         # Reference quirk (:417): optimizer_decoder.step() with zero grads
