@@ -55,8 +55,9 @@ def _proxy():
 def classify(images: jax.Array) -> np.ndarray:
     """images: [B, H, W, 3] in [-1, 1] -> probs [B, 1000]."""
     npz = os.environ.get("FMRI_TPU_INCEPTION_NPZ")
-    if npz and os.path.exists(npz):  # pragma: no cover - needs external weights
+    if npz and os.path.exists(npz):
         from fmri_tpu.metrics.inception_v3 import classify_with_weights
+
         return classify_with_weights(npz, images)
     # Proxy path: resize to a fixed 75x75 (the reference upsamples to 299
     # for Inception; the proxy net is resolution-agnostic, a fixed size keeps
@@ -65,11 +66,14 @@ def classify(images: jax.Array) -> np.ndarray:
     return np.asarray(_proxy()(imgs))
 
 
-def inception_score(images: jax.Array, splits: int = 1) -> float:
+def inception_score(images: jax.Array, splits: int = 1):
     """Inception Score of images (NHWC, [-1, 1]); proxy-backed unless real
-    weights are configured (see module docstring)."""
+    weights are configured (see module docstring).  Returns
+    ``(mean, std, is_proxy)`` — mean/std over splits like the reference
+    (``train_utils.py:879-881``)."""
     probs = classify(images)
-    return inception_score_from_probs(probs, splits=splits)
+    mean, std = inception_score_from_probs(probs, splits=splits)
+    return mean, std, is_proxy()
 
 
 def is_proxy() -> bool:

@@ -131,8 +131,9 @@ def objective_assessment(out: np.ndarray, target: np.ndarray, top: int = 5,
     return np.array([np.mean(np.asarray(tp_pcc)), np.mean(np.asarray(tp_ssim))])
 
 
-def inception_score_from_probs(probs: np.ndarray, splits: int = 1) -> float:
-    """IS = exp(mean_x KL(p(y|x) || p(y))) over splits
+def inception_score_from_probs(probs: np.ndarray, splits: int = 1):
+    """IS = exp(mean_x KL(p(y|x) || p(y))) over splits; returns
+    ``(mean, std)`` over splits like the reference
     (``train_utils.py:869-881``).  ``probs``: [N, num_classes] softmax outputs
     from any classifier (pluggable — see ``fmri_tpu.metrics.inception``)."""
     n = probs.shape[0]
@@ -142,4 +143,4 @@ def inception_score_from_probs(probs: np.ndarray, splits: int = 1) -> float:
         py = np.mean(part, axis=0)
         kl = np.sum(part * (np.log(part + 1e-12) - np.log(py + 1e-12)), axis=1)
         scores.append(np.exp(np.mean(kl)))
-    return float(np.mean(scores))
+    return float(np.mean(scores)), float(np.std(scores))

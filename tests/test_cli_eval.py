@@ -81,6 +81,10 @@ def test_quality_and_objective_helpers():
         np.float32)
     m = quality_metrics(recons, targets, with_is=False)
     assert m["pcc"] > 0.95 and m["ssim"] > 0.9 and m["mse"] < 1e-3
+    # proxy Inception Score path (train_utils.py:819-881 machinery)
+    m_is = quality_metrics(recons[:8], targets[:8], with_is=True)
+    assert m_is["is_proxy"] == 1.0
+    assert np.isfinite(m_is["is_mean"]) and m_is["is_mean"] >= 1.0 - 1e-3
     s = objective_scores(recons, targets, tops=(2, 5))
     assert s["pcc"] == [1.0, 1.0]
     assert s["ssim"] == [1.0, 1.0]

@@ -89,9 +89,14 @@ def test_objective_assessment_random_recon_near_chance():
 
 
 def test_inception_score_formula():
-    # Uniform probs -> KL = 0 -> IS = 1.
+    # Uniform probs -> KL = 0 -> IS = 1 (mean, std over splits).
     probs = np.full((10, 4), 0.25)
-    assert inception_score_from_probs(probs) == pytest.approx(1.0, abs=1e-5)
+    mean, std = inception_score_from_probs(probs)
+    assert mean == pytest.approx(1.0, abs=1e-5) and std == 0.0
     # One-hot distinct classes, uniform marginal -> IS = num_classes.
     probs = np.eye(4)[np.arange(8) % 4]
-    assert inception_score_from_probs(probs) == pytest.approx(4.0, rel=1e-4)
+    mean, _ = inception_score_from_probs(probs)
+    assert mean == pytest.approx(4.0, rel=1e-4)
+    # split std is reported like the reference (train_utils.py:879-881)
+    mean2, std2 = inception_score_from_probs(probs, splits=2)
+    assert std2 >= 0.0
