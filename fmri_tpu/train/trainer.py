@@ -255,12 +255,16 @@ class Trainer:
                 for b_idx, batch in enumerate(it):
                     k = jax.random.fold_in(ep_key, b_idx)
                     k_aug, k_step = jax.random.split(k)
-                    batch = self._augment(k_aug, batch)
-                    if self.uses_gate:
-                        state, m = self.steps.train_step(
-                            state, batch, k_step, *sched.args())
-                    else:
-                        state, m = self.steps.train_step(state, batch, k_step)
+                    # trace annotation: step markers for jax.profiler / perfetto
+                    # (the reference has no tracing at all, SURVEY.md §5.1)
+                    with jax.profiler.StepTraceAnnotation(
+                            "train_step", step_num=b_idx):
+                        batch = self._augment(k_aug, batch)
+                        if self.uses_gate:
+                            state, m = self.steps.train_step(
+                                state, batch, k_step, *sched.args())
+                        else:
+                            state, m = self.steps.train_step(state, batch, k_step)
                     # device-side accumulation; no host sync inside the loop
                     for key, v in m.items():
                         acc[key] = v if key not in acc else acc[key] + v

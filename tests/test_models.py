@@ -171,3 +171,34 @@ def test_resnet_encoder_shapes():
     v = m.init(jax.random.key(0), x, train=True)
     mu, lv = m.apply(v, x, train=False)
     assert mu.shape == (2, c.latent_dim) and lv.shape == (2, c.latent_dim)
+
+
+def test_res100_geometry():
+    """The paper preset (100px / latent 512, models_config.py:13-21): encoder
+    spatial chain 100->50->25->13 (fc_input 13), discriminator with
+    stride_gan=2 first layer -> fc_input_gan 7; decoder output_padding
+    pattern (False, True, True) restores exactly 100px."""
+    import jax
+    import jax.numpy as jnp
+
+    from fmri_tpu.configs import RES100
+    from fmri_tpu.models import Decoder, ImageDiscriminator, VisualEncoder
+
+    c = RES100.model
+    x = jnp.zeros((2, 100, 100, 3))
+    enc = VisualEncoder(c)
+    v = enc.init(jax.random.key(0), x, train=True)
+    mu, lv = enc.apply(v, x, train=False)
+    assert mu.shape == (2, 512)
+
+    dec = Decoder(c)
+    vd = dec.init(jax.random.key(1), mu, train=True)
+    y = dec.apply(vd, mu, train=False)
+    assert y.shape == (2, 100, 100, 3)
+
+    disc = ImageDiscriminator(c)
+    vdi = disc.init(jax.random.key(2), jnp.concatenate([x] * 3, 0), train=True)
+    feats, score = disc.apply(vdi, jnp.concatenate([x] * 3, 0), train=False)
+    assert score.shape == (6, 1)
+    # feature tap at recon_level flattens the pre-BN conv activations
+    assert feats.shape[0] == 6
