@@ -88,6 +88,23 @@ def shard_batch(batch: Any, mesh: Mesh, voxel_tp: bool = False) -> Any:
     return jax.tree_util.tree_map_with_path(place, batch)
 
 
+def shard_batch_multihost(batch: Any, mesh: Mesh, voxel_tp: bool = False) -> Any:
+    """Multi-host batch placement: each process contributes its local shard of
+    the global batch (``jax.make_array_from_process_local_data``), so the host
+    data loading is sharded per process (SURVEY.md §5.8 item 4).  Single-process
+    meshes fall back to :func:`shard_batch`."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, voxel_tp=voxel_tp)
+
+    def place(path, x):  # pragma: no cover - needs multi-host env
+        is_fmri = any(getattr(k, "key", None) == "fmri" for k in path)
+        sharding = batch_sharding(mesh, np.ndim(x),
+                                  shard_features=voxel_tp and is_fmri)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map_with_path(place, batch)
+
+
 def cognitive_param_specs(params: Any) -> Any:
     """PartitionSpecs for a cognitive-encoder group: ``fc1`` kernel sharded
     [voxels -> model, hidden] (1-D tensor parallelism over the voxel axis:

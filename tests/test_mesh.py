@@ -111,3 +111,17 @@ def test_shard_batch_places_batch_axis():
     x = jnp.zeros((B, 4, 4, 3))
     xs = shard_batch(x, mesh)
     assert xs.sharding.spec[0] == "data"
+
+
+def test_shard_batch_multihost_single_process_fallback():
+    """Single-process path of the multi-host batch placement."""
+    import numpy as np
+
+    from fmri_tpu.parallel import make_mesh, shard_batch_multihost
+
+    mesh = make_mesh(data=4)
+    batch = {"fmri": np.zeros((8, 16), np.float32),
+             "image": np.zeros((8, 4, 4, 3), np.float32)}
+    out = shard_batch_multihost(batch, mesh, voxel_tp=True)
+    assert out["image"].shape == (8, 4, 4, 3)
+    assert out["fmri"].sharding.spec[0] == "data"
