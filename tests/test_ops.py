@@ -87,3 +87,52 @@ def test_bf16_train_step_runs():
                                jnp.float32(1e-6))
     for v in m.values():
         assert np.isfinite(float(np.asarray(v)))
+
+
+def test_conv2d_matches_torch():
+    """NHWC conv vs torch F.conv2d (both are cross-correlations)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 9, 9, 4)).astype(np.float32)     # NHWC
+    k = rng.normal(size=(5, 5, 4, 6)).astype(np.float32)     # HWIO
+    ours = np.asarray(__import__("fmri_tpu.ops.conv", fromlist=["conv2d"])
+                      .conv2d(jnp.asarray(x), jnp.asarray(k), stride=2, padding=2))
+    tx = torch.tensor(np.transpose(x, (0, 3, 1, 2)))          # NCHW
+    tk = torch.tensor(np.transpose(k, (3, 2, 0, 1)))          # OIHW
+    oracle = F.conv2d(tx, tk, stride=2, padding=2).numpy()
+    np.testing.assert_allclose(ours, np.transpose(oracle, (0, 2, 3, 1)),
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("output_padding", [0, 1])
+def test_conv2d_transpose_matches_torch(output_padding):
+    """Transposed-conv geometry and values vs torch ConvTranspose2d.
+
+    Our kernel parameterization is the unflipped correlation form (weights are
+    trained from scratch, ops/conv.py docstring); torch's transposed conv
+    spatially flips, so the oracle uses the flipped kernel."""
+    import torch
+    import torch.nn.functional as F
+
+    from fmri_tpu.ops.conv import conv2d_transpose
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    k = rng.normal(size=(5, 5, 4, 6)).astype(np.float32)      # HWIO
+    ours = np.asarray(conv2d_transpose(
+        jnp.asarray(x), jnp.asarray(k), stride=2, padding=2,
+        output_padding=output_padding))
+    # expected spatial size: (in-1)*s - 2p + k + op  (vae_gan.py:46-53 contract)
+    expect = (8 - 1) * 2 - 4 + 5 + output_padding
+    assert ours.shape == (2, expect, expect, 6)
+
+    tx = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    # torch weight layout [Cin, Cout, kh, kw]; flip spatial dims to match the
+    # correlation parameterization
+    tk = torch.tensor(np.transpose(k[::-1, ::-1].copy(), (2, 3, 0, 1)))
+    oracle = F.conv_transpose2d(tx, tk, stride=2, padding=2,
+                                output_padding=output_padding).numpy()
+    np.testing.assert_allclose(ours, np.transpose(oracle, (0, 2, 3, 1)),
+                               atol=2e-4)
