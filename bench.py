@@ -19,8 +19,8 @@ import time
 
 BASELINE_IMGS_PER_SEC = 1500.0  # estimated CUDA reference (see module docstring)
 BATCH = 256
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 10
 
 
 def main() -> None:

@@ -1,5 +1,6 @@
 from fmri_tpu.data.datasets import (  # noqa: F401
-    Bold5000Volumes, BoldRoiDataset, CocoImages, Mnist69, split_subject_data,
+    Bold5000Volumes, BoldRoiDataset, CocoImages, Mnist69,
+    prepare_external_data, split_subject_data,
 )
 from fmri_tpu.data.etl import (  # noqa: F401
     NUM_VOXELS, ROIS_MAX, SUBJECTS, aggregate_bold_sessions,

@@ -70,6 +70,26 @@ class CocoImages:
         return out
 
 
+def prepare_external_data(data_dir: str, pickle_path: Optional[str] = None,
+                          save: bool = False) -> List[str]:
+    """RGB-only image path list builder (reference ``prepare_external_data``,
+    ``data_loader.py:319-343``, deprecated there per ``data_config.py:29-30``):
+    filters out greyscale files so Stage-I batches are uniformly 3-channel."""
+    keep: List[str] = []
+    from PIL import Image
+
+    for path in _list_images(data_dir):
+        with Image.open(path) as im:
+            bands = len(im.getbands())
+        if bands > 2:
+            keep.append(path)
+    if save and pickle_path:
+        os.makedirs(os.path.dirname(pickle_path) or ".", exist_ok=True)
+        with open(pickle_path, "wb") as f:
+            pickle.dump(keep, f)
+    return keep
+
+
 def _resolve_root(path: str, root_path: Optional[str]) -> str:
     """Pure-functional version of the reference's stimulus-path rebasing.
 

@@ -365,3 +365,15 @@ def test_prepare_cli_end_to_end(tmp_path, roi_dir, image_dir):
     assert packed["fmri"].shape[1] == 15
     assert packed["images"].shape[1:] == (16, 16, 3)
     assert os.path.exists(tmp_path / "packed" / "bold_valid.pickle")
+
+
+def test_prepare_external_data_filters_grey(image_dir, tmp_path):
+    from fmri_tpu.data import prepare_external_data
+
+    out = prepare_external_data(image_dir,
+                                pickle_path=str(tmp_path / "rgb.pickle"),
+                                save=True)
+    assert len(out) == 6  # the grey.png is filtered out
+    assert all("grey" not in p for p in out)
+    with open(tmp_path / "rgb.pickle", "rb") as f:
+        assert pickle.load(f) == out
