@@ -120,9 +120,10 @@ def _load_images(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
 
     c = cfg.data
     if args.dataset == "synthetic":
-        rng = np.random.default_rng(0)
+        from fmri_tpu.data.synthetic import synthetic_images
+
         n = max(4 * cfg.train.batch_size, 64)
-        imgs = rng.uniform(0, 1, (n, c.image_size, c.image_size, 3)).astype(np.float32)
+        imgs, _ = synthetic_images(n, c.image_size, seed=0)
         k = max(len(imgs) // 10, cfg.train.batch_size)
         return imgs[k:], imgs[:k]
     if args.dataset != "coco":
@@ -150,12 +151,10 @@ def _load_pairs(args, cfg):
 
     c = cfg.data
     if args.dataset == "synthetic":
-        rng = np.random.default_rng(0)
+        from fmri_tpu.data.synthetic import synthetic_pairs
+
         n = max(4 * cfg.train.batch_size, 64)
-        data = {
-            "fmri": rng.normal(size=(n, cfg.model.num_voxels)).astype(np.float32),
-            "image": rng.uniform(0, 1, (n, c.image_size, c.image_size, 3))
-                       .astype(np.float32)}
+        data = synthetic_pairs(n, c.image_size, cfg.model.num_voxels, seed=0)
         k = max(n // 10, cfg.train.batch_size)
         return ({key: v[k:] for key, v in data.items()},
                 {key: v[:k] for key, v in data.items()})

@@ -377,3 +377,22 @@ def test_prepare_external_data_filters_grey(image_dir, tmp_path):
     assert all("grey" not in p for p in out)
     with open(tmp_path / "rgb.pickle", "rb") as f:
         assert pickle.load(f) == out
+
+
+def test_synthetic_structured_data():
+    from fmri_tpu.data.synthetic import synthetic_images, synthetic_pairs
+
+    imgs, factors = synthetic_images(8, 16, seed=0)
+    assert imgs.shape == (8, 16, 16, 3) and factors.shape == (8, 13)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # deterministic
+    imgs2, _ = synthetic_images(8, 16, seed=0)
+    np.testing.assert_array_equal(imgs, imgs2)
+    # images are structured (not iid noise): neighbouring pixels correlate
+    dx = np.abs(np.diff(imgs, axis=2)).mean()
+    assert dx < 0.1
+
+    pairs = synthetic_pairs(16, 16, num_voxels=32, seed=1)
+    assert pairs["fmri"].shape == (16, 32)
+    np.testing.assert_allclose(pairs["fmri"].mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(pairs["fmri"].std(0), 1.0, atol=1e-4)
