@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import threading
 from queue import Queue
-from typing import Any, Dict, Iterator, Optional, Union
+from typing import Any, Dict, Iterator, Union
 
 import jax
 import numpy as np

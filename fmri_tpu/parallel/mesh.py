@@ -24,7 +24,7 @@ Tested on an 8-virtual-device CPU mesh (tests/test_mesh.py); the driver's
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'data=N[,model=M]' device mesh for SPMD runs")
     p.add_argument("--cache-dir", default=None,
                    help="where to cache packed image arrays (.npz)")
+    p.add_argument("--synthetic-n", type=int, default=None,
+                   help="synthetic dataset size (default 4*batch)")
     return p
 
 
@@ -122,7 +124,7 @@ def _load_images(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
     if args.dataset == "synthetic":
         from fmri_tpu.data.synthetic import synthetic_images
 
-        n = max(4 * cfg.train.batch_size, 64)
+        n = args.synthetic_n or max(4 * cfg.train.batch_size, 64)
         imgs, _ = synthetic_images(n, c.image_size, seed=0)
         k = max(len(imgs) // 10, cfg.train.batch_size)
         return imgs[k:], imgs[:k]
@@ -153,7 +155,7 @@ def _load_pairs(args, cfg):
     if args.dataset == "synthetic":
         from fmri_tpu.data.synthetic import synthetic_pairs
 
-        n = max(4 * cfg.train.batch_size, 64)
+        n = args.synthetic_n or max(4 * cfg.train.batch_size, 64)
         data = synthetic_pairs(n, c.image_size, cfg.model.num_voxels, seed=0)
         k = max(n // 10, cfg.train.batch_size)
         return ({key: v[k:] for key, v in data.items()},

@@ -13,7 +13,7 @@ one pytree with named groups — ``encoder`` / ``decoder`` / ``discriminator``
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ stays on device until the caller flushes it.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Dict, NamedTuple
 
 import jax

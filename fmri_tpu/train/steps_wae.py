@@ -13,7 +13,7 @@ running-average double-tick is replayed analytically, see
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
