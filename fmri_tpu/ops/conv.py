@@ -84,6 +84,11 @@ def depthwise_conv2d(x: jax.Array, kernel: jax.Array, padding: int = 0) -> jax.A
     (reference ``train/train_utils.py:390-401`` uses grouped ``F.conv2d``).
 
     x: [B, H, W, C]; kernel: [kh, kw, 1, C].
+
+    ``precision=HIGHEST`` is load-bearing: SSIM's variance terms are the
+    cancellation ``E[x^2] - E[x]^2``, and on TPU the default conv precision
+    feeds the MXU bf16 operands — the resulting sigma estimates go negative
+    enough to push SSIM far above 1.
     """
     c = x.shape[-1]
     return lax.conv_general_dilated(
@@ -92,4 +97,5 @@ def depthwise_conv2d(x: jax.Array, kernel: jax.Array, padding: int = 0) -> jax.A
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=DIMSPEC,
         feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
