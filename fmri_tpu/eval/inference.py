@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-images", action="store_true")
     p.add_argument("--resize", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic-n", type=int, default=None,
+                   help="synthetic dataset size (default 4*batch)")
     return p
 
 

@@ -23,10 +23,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fmri_tpu.metrics.quality import gaussian_window
-
 C1 = 0.01**2
 C2 = 0.03**2
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """Normalized 1D gaussian — same taps as
+    ``fmri_tpu.metrics.quality.gaussian_window`` (kept local to avoid a
+    circular import between ops and metrics)."""
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
+    return g / g.sum()
 
 
 def _separable_blur(p, g, h, w):
@@ -76,7 +83,7 @@ def ssim_pallas(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     b, h, w, c = img1.shape
     real_size = min(window_size, h, w)
     pad = window_size // 2  # reference pads by window_size//2 (:376)
-    g = tuple(float(v) for v in gaussian_window(real_size))
+    g = tuple(float(v) for v in _gaussian_window(real_size))
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
