@@ -10,11 +10,18 @@ reference doing the same per-batch work (3 backward passes through the
 retained graph + per-batch host syncs) on a CUDA-10.1-era V100-class card,
 estimated at 1500 imgs/s for res64/batch-64 Stage I.  The driver's north star
 is >10x that (BASELINE.json).
+
+Measured config: the ``res64-bf16`` production preset (bf16 MXU operands,
+fp32 params/BN) with the spliced segment-wise backward — quality-validated
+against fp32 on the synthetic convergence run (BASELINE.md: PCC 0.65 vs
+0.62 after 30 epochs) and gradient-equivalence-tested vs the reference's
+backward schedule.  Override with FMRI_TPU_BENCH_PRESET.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_IMGS_PER_SEC = 1500.0  # estimated CUDA reference (see module docstring)
@@ -27,12 +34,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fmri_tpu.configs import RES64
+    from fmri_tpu.configs import get_config
     from fmri_tpu.train import (
         RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
     )
 
-    cfg = RES64
+    cfg = get_config(os.environ.get("FMRI_TPU_BENCH_PRESET", "res64-bf16"))
     c = cfg.model
     step = make_vgan_stage1_step(cfg, "vae-gan", donate=True)
 
