@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="where to cache packed image arrays (.npz)")
     p.add_argument("--synthetic-n", type=int, default=None,
                    help="synthetic dataset size (default 4*batch)")
+    p.add_argument("--on-device-epochs", action="store_true",
+                   help="run each epoch as one lax.scan over the "
+                        "device-resident dataset (needs it to fit in HBM)")
     return p
 
 
@@ -281,7 +284,8 @@ def main(argv=None) -> int:
         return 0
 
     trainer.fit(state, train_data, valid_data, start_epoch=start_epoch,
-                eval_batches=args.eval_batches)
+                eval_batches=args.eval_batches,
+                on_device=args.on_device_epochs)
     print(f"run artifacts: {run_dir}")
     return 0
 

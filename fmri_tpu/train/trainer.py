@@ -135,6 +135,7 @@ class Trainer:
 
         aug = dict(flip=False, max_shift=0)
         aug.update(augment or {})
+        self._augment_cfg = dict(aug)
         mean, std = tuple(cfg.data.mean), tuple(cfg.data.std)
         self._mean, self._std = mean, std
 
@@ -218,20 +219,43 @@ class Trainer:
     def fit(self, state: TrainState, train_data, valid_data=None, *,
             n_epochs: Optional[int] = None, start_epoch: int = 0,
             eval_batches: int = 1, grid_every: int = 2,
-            seed: Optional[int] = None,
+            seed: Optional[int] = None, on_device: bool = False,
             epoch_callback: Optional[Callable] = None) -> TrainState:
+        """Train for ``n_epochs``.  ``on_device=True`` runs each epoch as one
+        jitted ``lax.scan`` over the device-resident dataset
+        (``fmri_tpu.train.epoch_scan``) — no per-step host dispatch; use when
+        the packed training set fits in HBM."""
         cfg = self.cfg
         t = cfg.train
         n_epochs = n_epochs if n_epochs is not None else t.n_epochs
         seed = seed if seed is not None else t.seed
         dump_config(self.run_dir, cfg, extra={
-            "data_kind": self.data_kind, "seed": seed,
+            "data_kind": self.data_kind, "seed": seed, "on_device": on_device,
             "start_epoch": start_epoch, "n_epochs": n_epochs})
 
         train_batches = Batches(train_data, t.batch_size, shuffle=True, seed=seed)
         train_batches.epoch = start_epoch
         valid_batches = (Batches(valid_data, t.batch_size, shuffle=False)
                          if valid_data is not None else None)
+
+        epoch_runner = None
+        device_data = None
+        n_train = 0
+        if on_device:
+            from fmri_tpu.train.epoch_scan import make_epoch_runner
+
+            epoch_runner = make_epoch_runner(
+                cfg, self.steps, uses_gate=self.uses_gate,
+                augment=self._augment_cfg, donate=False)
+            if self.mesh is not None:
+                from fmri_tpu.parallel.mesh import shard_batch
+
+                device_data = shard_batch(train_data, self.mesh,
+                                          voxel_tp=self.voxel_tp)
+            else:
+                device_data = jax.device_put(train_data)
+            n_train = (len(train_data["fmri"]) if isinstance(train_data, dict)
+                       else len(train_data))
 
         sched = GameSchedules(cfg)
         for _ in range(start_epoch):  # fast-forward schedule state on resume
@@ -248,33 +272,44 @@ class Trainer:
                 if self.profile and epoch == start_epoch + 1:
                     jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
 
-                acc: Dict[str, Any] = {}
-                nb = 0
-                it = device_iterator(iter(train_batches), mesh=self.mesh,
-                                     voxel_tp=self.voxel_tp)
-                for b_idx, batch in enumerate(it):
-                    k = jax.random.fold_in(ep_key, b_idx)
-                    k_aug, k_step = jax.random.split(k)
-                    # trace annotation: step markers for jax.profiler / perfetto
-                    # (the reference has no tracing at all, SURVEY.md §5.1)
-                    with jax.profiler.StepTraceAnnotation(
-                            "train_step", step_num=b_idx):
-                        batch = self._augment(k_aug, batch)
-                        if self.uses_gate:
-                            state, m = self.steps.train_step(
-                                state, batch, k_step, *sched.args())
-                        else:
-                            state, m = self.steps.train_step(state, batch, k_step)
-                    # device-side accumulation; no host sync inside the loop
-                    for key, v in m.items():
-                        acc[key] = v if key not in acc else acc[key] + v
-                    nb += 1
+                if epoch_runner is not None:
+                    from fmri_tpu.train.epoch_scan import epoch_permutation
+
+                    perm = jax.device_put(epoch_permutation(
+                        n_train, t.batch_size, seed, epoch))
+                    gate = sched.args() if self.uses_gate else ()
+                    state, dm = epoch_runner(state, device_data, perm,
+                                             ep_key, *gate)
+                    epoch_metrics = {k: float(np.asarray(v))
+                                     for k, v in dm.items()}
+                else:
+                    acc: Dict[str, Any] = {}
+                    nb = 0
+                    it = device_iterator(iter(train_batches), mesh=self.mesh,
+                                         voxel_tp=self.voxel_tp)
+                    for b_idx, batch in enumerate(it):
+                        k = jax.random.fold_in(ep_key, b_idx)
+                        k_aug, k_step = jax.random.split(k)
+                        # trace annotation: step markers for jax.profiler /
+                        # perfetto (the reference has no tracing, SURVEY §5.1)
+                        with jax.profiler.StepTraceAnnotation(
+                                "train_step", step_num=b_idx):
+                            batch = self._augment(k_aug, batch)
+                            if self.uses_gate:
+                                state, m = self.steps.train_step(
+                                    state, batch, k_step, *sched.args())
+                            else:
+                                state, m = self.steps.train_step(
+                                    state, batch, k_step)
+                        # device-side accumulation; no host sync in the loop
+                        for key, v in m.items():
+                            acc[key] = v if key not in acc else acc[key] + v
+                        nb += 1
+                    epoch_metrics = {k: float(np.asarray(v)) / nb
+                                     for k, v in acc.items()}
 
                 if self.profile and epoch == start_epoch + 1:
                     jax.profiler.stop_trace()
-
-                epoch_metrics = {k: float(np.asarray(v)) / nb
-                                 for k, v in acc.items()}
                 sched.epoch_end()
 
                 row: Dict[str, float] = {"epoch": float(epoch)}

@@ -156,3 +156,38 @@ def test_grid_dump(tmp_path, images):
     assert os.path.exists(os.path.join(d, "images", "valid", "epoch_0000.png"))
     assert os.path.exists(os.path.join(d, "images", "valid",
                                        "epoch_0000_original.png"))
+
+
+def test_on_device_epochs_match_host_loop_shape(tmp_path, images):
+    """on_device=True (lax.scan epochs) trains, logs and checkpoints like the
+    host loop; losses finite and parameters move."""
+    cfg = TINY
+    spe = N // cfg.train.batch_size
+    state0, steps, kwargs = BUILDERS["vgan_stage1"](
+        cfg, steps_per_epoch=spe, donate=False)
+    d = create_run_dir(str(tmp_path), "scan_epochs", timestamp="t")
+    trainer = Trainer(cfg, steps, d, tensorboard=False, **kwargs)
+    import jax
+
+    p0 = jax.tree_util.tree_leaves(state0.params)[0].copy()
+    state = trainer.fit(state0, images, images, n_epochs=2, grid_every=0,
+                        on_device=True)
+    res = ResultsCSV(os.path.join(d, "results.csv"))
+    assert res.last_epoch == 1
+    assert all(np.isfinite(v) for v in res.rows[-1].values())
+    assert "valid_PCC" in res.rows[-1]
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_on_device_epochs_wae(tmp_path, pairs):
+    cfg = TINY
+    spe = N // cfg.train.batch_size
+    state, steps, kwargs = BUILDERS["wae_stage1"](
+        cfg, steps_per_epoch=spe, donate=False)
+    d = create_run_dir(str(tmp_path), "scan_wae", timestamp="t")
+    trainer = Trainer(cfg, steps, d, tensorboard=False, **kwargs)
+    trainer.fit(state, pairs["image"], pairs["image"], n_epochs=1,
+                grid_every=0, on_device=True)
+    res = ResultsCSV(os.path.join(d, "results.csv"))
+    assert np.isfinite(res.rows[-1]["loss_reconstruction"])
