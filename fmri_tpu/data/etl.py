@@ -240,12 +240,12 @@ def zscore(x: np.ndarray) -> np.ndarray:
 
 
 def concatenate_bold_data(data_dir: str,
-                          subjects: Sequence[str] = SUBJECTS) -> List[Dict]:
+                          subjects: Optional[Sequence[str]] = SUBJECTS) -> List[Dict]:
     """Load per-subject padded ROI arrays, z-score per subject, concatenate
     across subjects, and zip with stimulus paths into
     ``[{'fmri': vec, 'image': path}]`` (``data_loader.py:259-305``)."""
     records: List[Dict] = []
-    for sub in subjects:
+    for sub in (subjects or SUBJECTS):
         roi_file = os.path.join(data_dir, sub, f"{sub}_roi_pad.pickle")
         if os.path.exists(roi_file):
             with open(roi_file, "rb") as f:

@@ -171,7 +171,13 @@ def _load_pairs(args, cfg):
     if args.dataset != "bold":
         raise SystemExit(f"stages 2/3 expect --dataset bold|mnist69|synthetic")
     if os.path.isdir(args.input):
-        records = concatenate_bold_data(args.input.rstrip("/") + "/")
+        # auto-detect the CSI* subject dirs present (the reference hard-codes
+        # subjects in data_config.py; a subset layout should just work)
+        subs = tuple(sorted(
+            d for d in os.listdir(args.input)
+            if d.startswith("CSI") and os.path.isdir(os.path.join(args.input, d))))
+        records = concatenate_bold_data(args.input.rstrip("/") + "/",
+                                        subjects=subs or None)
     else:
         import pickle
 

@@ -118,3 +118,41 @@ def test_user_study_scorer(tmp_path):
     chart = tmp_path / "chart.png"
     save_preference_chart(str(chart))
     assert chart.exists()
+
+
+def test_cli_bold_data_path(tmp_path):
+    """The training CLI's --dataset bold loader: reference-format per-subject
+    pickles -> packed arrays -> split (no subprocess; drives _load_pairs)."""
+    import pickle
+    import types
+
+    from PIL import Image
+
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.train.run import _load_pairs
+
+    rng = np.random.default_rng(0)
+    imgs = tmp_path / "stimuli"
+    imgs.mkdir()
+    for i in range(12):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(imgs / f"s{i}.png")
+    root = tmp_path / "bold_roi"
+    for sub, n0 in (("CSI1", 7), ("CSI2", 5)):
+        d = root / sub
+        d.mkdir(parents=True)
+        with open(d / f"{sub}_roi_pad.pickle", "wb") as f:
+            pickle.dump(rng.normal(size=(n0, TINY.model.num_voxels)), f)
+        with open(d / f"{sub}_stimuli_paths.pickle", "wb") as f:
+            pickle.dump([str(imgs / f"s{i}.png") for i in range(n0)], f)
+
+    args = types.SimpleNamespace(dataset="bold", input=str(root),
+                                 cache_dir=None, synthetic_n=None)
+    cfg = TINY
+    train, valid = _load_pairs(args, cfg)
+    assert train["fmri"].shape[1] == cfg.model.num_voxels
+    assert train["image"].shape[1:] == (cfg.model.image_size,
+                                        cfg.model.image_size, 3)
+    # 12 records, split 0.2 seed 12345 -> 9/3 (sklearn ceil)
+    assert len(train["fmri"]) + len(valid["fmri"]) == 12
+    assert len(valid["fmri"]) == 3
