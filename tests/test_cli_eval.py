@@ -156,3 +156,20 @@ def test_cli_bold_data_path(tmp_path):
     # 12 records, split 0.2 seed 12345 -> 9/3 (sklearn ceil)
     assert len(train["fmri"]) + len(valid["fmri"]) == 12
     assert len(valid["fmri"]) == 3
+
+
+def test_train_cli_mesh_data_parallel(tmp_path):
+    """--mesh data=4: the full training CLI under SPMD on 4 virtual devices."""
+    out = str(tmp_path / "mesh_run")
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.train.run", "--family", "vgan",
+         "--stage", "1", "--preset", "tiny", "--dataset", "synthetic",
+         "--epochs", "1", "--mesh", "data=4", "-o", out],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    found = [root for root, _, files in os.walk(out) if "results.csv" in files]
+    assert len(found) == 1
+    with open(os.path.join(found[0], "results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert np.isfinite(float(rows[0]["loss_encoder"]))
