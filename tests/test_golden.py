@@ -80,3 +80,43 @@ def test_golden_res64_forward_fingerprints():
             val, golden[key], rtol=2e-4, atol=1e-4,
             err_msg=f"{key} drifted from golden — if intentional, regenerate "
                     f"with FMRI_TPU_REGEN_GOLDEN=1")
+
+
+GOLDEN100 = os.path.join(os.path.dirname(__file__), "golden", "res100.npz")
+
+
+def test_golden_res100_forward_fingerprints():
+    """Same fingerprints at the paper preset (100px / latent 512,
+    models_config.py:13-21)."""
+    from fmri_tpu.configs import RES100
+    from fmri_tpu.models import Decoder, ImageDiscriminator, VisualEncoder
+
+    c = RES100.model
+    fp = {}
+    x = jax.random.uniform(jax.random.key(20), (2, 100, 100, 3),
+                           minval=-1.0, maxval=1.0)
+    z = jax.random.normal(jax.random.key(21), (2, c.latent_dim))
+
+    enc = VisualEncoder(c)
+    ev = enc.init(jax.random.key(0), x, train=True)
+    mu, lv = enc.apply(ev, x, train=False)
+    fp["enc_mu"] = np.asarray([jnp.sum(mu), jnp.sum(jnp.abs(mu)), jnp.sum(lv)])
+
+    dec = Decoder(c)
+    dv = dec.init(jax.random.key(1), z, train=True)
+    y = dec.apply(dv, z, train=False)
+    fp["dec"] = np.asarray([jnp.sum(y), jnp.sum(jnp.abs(y)), jnp.std(y)])
+
+    disc = ImageDiscriminator(c)
+    civ = disc.init(jax.random.key(2), jnp.concatenate([x] * 3, 0), train=True)
+    feats, score = disc.apply(civ, jnp.concatenate([x] * 3, 0), train=False)
+    fp["disc"] = np.asarray([jnp.sum(feats), jnp.sum(score), jnp.std(feats)])
+
+    if os.environ.get("FMRI_TPU_REGEN_GOLDEN") or not os.path.exists(GOLDEN100):
+        np.savez(GOLDEN100, **fp)
+        if os.environ.get("FMRI_TPU_REGEN_GOLDEN"):
+            pytest.skip("golden regenerated")
+    golden = np.load(GOLDEN100)
+    for key, val in fp.items():
+        np.testing.assert_allclose(val, golden[key], rtol=2e-4, atol=1e-4,
+                                   err_msg=key)
