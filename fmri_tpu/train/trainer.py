@@ -126,6 +126,13 @@ class Trainer:
         self.eval_sample = eval_sample
         self.mesh = mesh
         self.voxel_tp = voxel_tp
+        if mesh is not None:
+            dsize = mesh.shape.get("data", 1)
+            if cfg.train.batch_size % dsize:
+                raise ValueError(
+                    f"batch_size={cfg.train.batch_size} is not divisible by "
+                    f"the mesh data axis ({dsize} devices); pick a batch "
+                    f"size that shards evenly")
         self.debug = debug
         self.profile = profile
         self.logger = setup_logging(run_dir)

@@ -173,3 +173,18 @@ def test_train_cli_mesh_data_parallel(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 1
     assert np.isfinite(float(rows[0]["loss_encoder"]))
+
+
+def test_train_cli_resume(trained_run):
+    """--resume-dir continues from the stored checkpoint with the right
+    epoch offset (reference resume contract, train_vgan_stage1.py:239-247)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.train.run", "--family", "vgan",
+         "--stage", "1", "--preset", "tiny", "--dataset", "synthetic",
+         "--epochs", "2", "--resume-dir", trained_run],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(trained_run, "results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    # original run wrote epoch 0; the resumed run appends epoch 1
+    assert [int(float(x["epoch"])) for x in rows] == [0, 1]
