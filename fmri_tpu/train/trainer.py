@@ -332,6 +332,14 @@ class Trainer:
                         jax.random.fold_in(ep_key, 0x7FFFFFFF),
                         max_batches=eval_batches, save_images_to=grid_path)
                     row.update({f"valid_{k}": v for k, v in vm.items()})
+                    # train-batch metrics, mirroring the reference's per-epoch
+                    # train_PCC/train_SSIM/train_MSE columns
+                    # (train_vgan_stage1.py:583-618)
+                    tm = self.evaluate_batches(
+                        state, iter(Batches(train_data, t.batch_size)),
+                        jax.random.fold_in(ep_key, 0x7FFFFFFE),
+                        max_batches=max(eval_batches, 1))
+                    row.update({f"train_{k}": v for k, v in tm.items()})
 
                 self.results.append(row)
                 for key, v in row.items():

@@ -191,3 +191,15 @@ def test_on_device_epochs_wae(tmp_path, pairs):
                 grid_every=0, on_device=True)
     res = ResultsCSV(os.path.join(d, "results.csv"))
     assert np.isfinite(res.rows[-1]["loss_reconstruction"])
+
+
+def test_train_metrics_columns(tmp_path, images):
+    """Reference CSVs carry per-epoch train_PCC/train_SSIM/train_MSE next to
+    the valid_ columns (train_vgan_stage1.py:583-618)."""
+    d = create_run_dir(str(tmp_path), "train_cols", timestamp="t")
+    _fit("vgan_stage1", d, images, images, n_epochs=1)
+    res = ResultsCSV(os.path.join(d, "results.csv"))
+    row = res.rows[-1]
+    for k in ("train_PCC", "train_SSIM", "train_MSE",
+              "valid_PCC", "valid_SSIM", "valid_MSE"):
+        assert k in row and np.isfinite(row[k])
