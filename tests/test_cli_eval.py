@@ -188,3 +188,42 @@ def test_train_cli_resume(trained_run):
         rows = list(csv.DictReader(f))
     # original run wrote epoch 0; the resumed run appends epoch 1
     assert [int(float(x["epoch"])) for x in rows] == [0, 1]
+
+
+def test_train_cli_evaluate_only(trained_run):
+    """--evaluate: metrics-only pass over the validation set (the reference's
+    evaluate=True early-exit, train_vgan_stage1.py:247-257)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.train.run", "--family", "vgan",
+         "--stage", "1", "--preset", "tiny", "--dataset", "synthetic",
+         "--resume-dir", trained_run, "--evaluate"],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    # stdout ends with a flat metrics JSON object
+    payload = json.loads(r.stdout[r.stdout.rindex("{"):])
+    assert "valid_PCC" in payload, r.stdout[-500:]
+
+
+def test_cli_mnist69_path(tmp_path):
+    """--dataset mnist69: .mat rows [784 pixels | voxels] -> 80/20 split
+    (train_vgan_stage2.py:184-204)."""
+    import types
+
+    import scipy.io as sio
+
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.train.run import _load_pairs
+
+    rng = np.random.default_rng(3)
+    rows = np.concatenate([
+        rng.integers(0, 255, size=(40, 784)).astype(np.float64),
+        rng.normal(size=(40, TINY.model.num_voxels)),
+    ], axis=1)
+    mat = str(tmp_path / "69dataset.mat")
+    sio.savemat(mat, {"D": rows})
+    args = types.SimpleNamespace(dataset="mnist69", input=mat,
+                                 cache_dir=None, synthetic_n=None)
+    train, valid = _load_pairs(args, TINY)
+    assert len(train["fmri"]) + len(valid["fmri"]) == 40
+    assert train["image"].shape[1:] == (TINY.model.image_size,
+                                        TINY.model.image_size, 3)

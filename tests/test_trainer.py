@@ -203,3 +203,17 @@ def test_train_metrics_columns(tmp_path, images):
     for k in ("train_PCC", "train_SSIM", "train_MSE",
               "valid_PCC", "valid_SSIM", "valid_MSE"):
         assert k in row and np.isfinite(row[k])
+
+
+def test_on_device_epochs_pairs(tmp_path, pairs):
+    """on_device epochs with {'fmri','image'} dict data (stage-2 shape)."""
+    cfg = TINY
+    spe = N // cfg.train.batch_size
+    # build stage-2-like state via the scratch experiment (no ckpt needed)
+    state, steps, kwargs = BUILDERS["exp_vgan"](
+        cfg, steps_per_epoch=spe, donate=False)
+    d = create_run_dir(str(tmp_path), "scan_pairs", timestamp="t")
+    trainer = Trainer(cfg, steps, d, tensorboard=False, **kwargs)
+    trainer.fit(state, pairs, pairs, n_epochs=1, grid_every=0, on_device=True)
+    res = ResultsCSV(os.path.join(d, "results.csv"))
+    assert np.isfinite(res.rows[-1]["loss_encoder"])
