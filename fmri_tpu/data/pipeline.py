@@ -103,12 +103,15 @@ def device_iterator(batches, *, mesh=None, voxel_tp: bool = False,
 
     q: Queue = Queue(maxsize=prefetch)
     _END = object()
+    _ERR = object()
 
     def producer():
         try:
             for batch in batches:
                 q.put(place(batch))
-        finally:
+        except BaseException as e:  # surface in the consumer, don't truncate
+            q.put((_ERR, e))
+        else:
             q.put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -117,5 +120,8 @@ def device_iterator(batches, *, mesh=None, voxel_tp: bool = False,
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            t.join()
+            raise item[1]
         yield item
     t.join()

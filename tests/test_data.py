@@ -396,3 +396,18 @@ def test_synthetic_structured_data():
     assert pairs["fmri"].shape == (16, 32)
     np.testing.assert_allclose(pairs["fmri"].mean(0), 0.0, atol=1e-5)
     np.testing.assert_allclose(pairs["fmri"].std(0), 1.0, atol=1e-4)
+
+
+def test_device_iterator_propagates_producer_errors():
+    """A failure inside the prefetch thread must raise in the consumer, not
+    silently truncate the epoch."""
+
+    def bad_batches():
+        yield np.zeros((4, 2), np.float32)
+        raise RuntimeError("decode exploded")
+
+    it = device_iterator(bad_batches(), prefetch=2)
+    first = next(it)
+    assert first.shape == (4, 2)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(it)
