@@ -67,7 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["coco", "bold", "mnist69", "synthetic"])
     p.add_argument("--input", "-i", default=None,
                    help="data root (images dir for coco, bold_roi dir or "
-                        "pickle for bold, .mat for mnist69)")
+                        "pickle for bold, .mat for mnist69); the reference "
+                        "trains Stage I on COCO train+test concatenated "
+                        "(train_vgan_stage1.py:193) — pass a dir containing "
+                        "both, or use --valid-input for a separate val dir")
     p.add_argument("--output", "-o", default="results")
     p.add_argument("--logs", "-l", default=None, help="unused; kept for "
                    "reference CLI parity (logs go to the run dir)")
