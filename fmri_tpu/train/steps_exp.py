@@ -67,8 +67,10 @@ def make_supervised_decoder_step(cfg: Config, lr_schedule=None,
                          fmri, train=False)
 
     donate_args = (0,) if donate else ()
+    # no noise sampler: the supervised decoder's input is the voxel vector,
+    # not a latent (exp_decoder.py:172-174)
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step), None)
 
 
 def make_cognitive_scratch_step(cfg: Config, mode: str = "vae-gan",
@@ -160,8 +162,11 @@ def make_cognitive_scratch_step(cfg: Config, mode: str = "vae-gan",
                          z, train=False)
 
     donate_args = (0,) if donate else ()
+    from fmri_tpu.train.steps_vgan import _make_generate_step
+
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step),
+                   _make_generate_step(dec, c.latent_dim))
 
 
 def make_dcgan_stage1_step(cfg: Config, lr_schedule=None,
@@ -243,8 +248,11 @@ def make_dcgan_stage1_step(cfg: Config, lr_schedule=None,
                          z_p, train=False)
 
     donate_args = (0,) if donate else ()
+    from fmri_tpu.train.steps_vgan import _make_generate_step
+
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step),
+                   _make_generate_step(dec, c.latent_dim))
 
 
 def make_dcgan_stage2_step(cfg: Config, lr_schedule=None,
@@ -319,5 +327,8 @@ def make_dcgan_stage2_step(cfg: Config, lr_schedule=None,
                          z, train=False)
 
     donate_args = (0,) if donate else ()
+    from fmri_tpu.train.steps_vgan import _make_generate_step
+
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step),
+                   _make_generate_step(dec, c.latent_dim))

@@ -42,11 +42,26 @@ from fmri_tpu.train.state import TrainState
 class StepFns(NamedTuple):
     train_step: Any
     eval_step: Any
+    # decode-from-noise sampler (the reference's model(None) branch,
+    # vae_gan.py:294-297); used for the 'generated' image panels
+    generate_step: Any = None
 
 
 def _split_triplet(feats, score, b):
     return (feats[:b], feats[b : 2 * b],
             score[:b], score[b : 2 * b], score[2 * b :])
+
+def _make_generate_step(dec, latent_dim):
+    """Decode z ~ N(0, I) with BN running averages (``vae_gan.py:294-297``)."""
+
+    def generate_step(state: TrainState, rng, n: int):
+        z_p = jax.random.normal(rng, (n, latent_dim), jnp.float32)
+        return dec.apply({"params": state.params["decoder"],
+                          "batch_stats": state.batch_stats["decoder"]},
+                         z_p, train=False)
+
+    return jax.jit(generate_step, static_argnums=(2,))
+
 
 
 def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
@@ -261,6 +276,7 @@ def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
     return StepFns(
         jax.jit(train_step, donate_argnums=donate_args),
         jax.jit(eval_step),
+        _make_generate_step(dec, c.latent_dim),
     )
 
 
@@ -536,4 +552,5 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
     return StepFns(
         jax.jit(train_step, donate_argnums=donate_args),
         jax.jit(eval_step),
+        _make_generate_step(dec, c.latent_dim),
     )

@@ -124,8 +124,11 @@ def make_wae_stage1_step(cfg: Config, lr_schedule=None, donate: bool = True) -> 
                          mu, train=False)
 
     donate_args = (0,) if donate else ()
+    from fmri_tpu.train.steps_vgan import _make_generate_step
+
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step),
+                   _make_generate_step(dec, c.latent_dim))
 
 
 def make_wae_cognitive_step(cfg: Config, stage: int, lr_schedule_enc=None,
@@ -263,8 +266,11 @@ def make_wae_cognitive_step(cfg: Config, stage: int, lr_schedule_enc=None,
                          mu, train=False)
 
     donate_args = (0,) if donate else ()
+    from fmri_tpu.train.steps_vgan import _make_generate_step
+
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step),
+                   _make_generate_step(dec, c.latent_dim))
 
 
 def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
@@ -512,5 +518,8 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
                          z, train=False)
 
     donate_args = (0,) if donate else ()
+    from fmri_tpu.train.steps_vgan import _make_generate_step
+
     return StepFns(jax.jit(train_step, donate_argnums=donate_args),
-                   jax.jit(eval_step))
+                   jax.jit(eval_step),
+                   _make_generate_step(dec, c.latent_dim))

@@ -219,6 +219,13 @@ class Trainer:
             save_image_grid(r[: nrow * 2], save_images_to, nrow=nrow)
             base, ext = os.path.splitext(save_images_to)
             save_image_grid(t[: nrow * 2], f"{base}_original{ext}", nrow=nrow)
+            # 'generated' panel: decode-from-noise samples, matching the
+            # reference's reconstructed/generated/original triple
+            # (train_vgan_stage1.py:545-565)
+            if self.steps.generate_step is not None:
+                gen = self.steps.generate_step(state, rng, nrow * 2)
+                g = np.asarray(denormalize(gen, self._mean, self._std))
+                save_image_grid(g, f"{base}_generated{ext}", nrow=nrow)
         return {k: v / count for k, v in sums.items()}
 
     # ------------------------------------------------------------------

@@ -156,6 +156,9 @@ def test_grid_dump(tmp_path, images):
     assert os.path.exists(os.path.join(d, "images", "valid", "epoch_0000.png"))
     assert os.path.exists(os.path.join(d, "images", "valid",
                                        "epoch_0000_original.png"))
+    # 'generated' panel (reference reconstructed/generated/original triple)
+    assert os.path.exists(os.path.join(d, "images", "valid",
+                                       "epoch_0000_generated.png"))
 
 
 def test_on_device_epochs_match_host_loop_shape(tmp_path, images):
