@@ -90,6 +90,18 @@ class ResultsCSV:
         self.rows.append(row)
         if self.fields is None:
             self.fields = list(row.keys())
+        new_cols = [k for k in row if k not in self.fields]
+        if new_cols:
+            # column set evolved (e.g. resuming a run recorded by an older
+            # version): rewrite the file with the union instead of silently
+            # dropping the new metrics
+            self.fields = self.fields + new_cols
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self.fields)
+                w.writeheader()
+                for r in self.rows:
+                    w.writerow({k: r.get(k, "") for k in self.fields})
+            return
         write_header = not os.path.exists(self.path)
         with open(self.path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self.fields, extrasaction="ignore")
