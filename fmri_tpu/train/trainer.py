@@ -363,8 +363,15 @@ class Trainer:
                 if epoch_callback is not None:
                     epoch_callback(epoch, state, row)
 
-                guard = row.get("valid_PCC",
-                                row.get("loss_reconstruction", 0.0))
+                # NaN anywhere stops training (train_utils.py:41-42);
+                # patience tracks valid_PCC (maximize) — never patience-stop
+                # on a loss with a maximize comparator
+                if any(math.isnan(v) for v in row.values()):
+                    guard = float("nan")
+                elif "valid_PCC" in row:
+                    guard = row["valid_PCC"]
+                else:
+                    guard = stopper.best if stopper.best is not None else 0.0
                 if stopper.update(guard):
                     self.logger.info("early stop at epoch %d", epoch)
                     break
