@@ -125,3 +125,29 @@ def test_shard_batch_multihost_single_process_fallback():
     out = shard_batch_multihost(batch, mesh, voxel_tp=True)
     assert out["image"].shape == (8, 4, 4, 3)
     assert out["fmri"].sharding.spec[0] == "data"
+
+
+def test_on_device_epochs_under_mesh(tmp_path):
+    """lax.scan epochs with the dataset sharded over the data axis."""
+    import numpy as np
+
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.parallel import make_mesh
+    from fmri_tpu.train import BUILDERS, Trainer
+    from fmri_tpu.utils.runlog import ResultsCSV, create_run_dir
+
+    mesh = make_mesh(data=4)
+    cfg = TINY
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (16, cfg.model.image_size,
+                                cfg.model.image_size, 3)).astype(np.float32)
+    state, steps, kwargs = BUILDERS["vgan_stage1"](
+        cfg, steps_per_epoch=2, donate=False)
+    d = create_run_dir(str(tmp_path), "mesh_scan", timestamp="t")
+    trainer = Trainer(cfg, steps, d, tensorboard=False, mesh=mesh, **kwargs)
+    trainer.fit(state, images, images, n_epochs=1, grid_every=0,
+                on_device=True)
+    import os
+
+    res = ResultsCSV(os.path.join(d, "results.csv"))
+    assert np.isfinite(res.rows[-1]["loss_encoder"])
