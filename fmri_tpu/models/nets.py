@@ -41,10 +41,6 @@ ref_uniform_init = nn.initializers.variance_scaling(1.0 / 9.0, "fan_in", "unifor
 wae_normal_init = nn.initializers.normal(stddev=0.01)
 
 
-def _bn(momentum: float = BN_MOMENTUM) -> nn.BatchNorm:
-    return nn.BatchNorm(use_running_average=False, momentum=momentum, epsilon=BN_EPS)
-
-
 def _cd(cfg: ModelConfig):
     """Compute dtype for MXU ops (None = float32; 'bfloat16' = fast path).
     BatchNorm and parameters always stay float32."""

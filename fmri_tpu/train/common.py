@@ -22,13 +22,6 @@ def apply_with_stats(module, params, stats, *args, **kwargs):
     return out, upd.get("batch_stats", {})
 
 
-def apply_eval(module, params, stats, *args, **kwargs):
-    variables = {"params": params}
-    if stats:
-        variables["batch_stats"] = stats
-    return module.apply(variables, *args, **kwargs)
-
-
 def bn_extra_ticks(old_stats: Any, new_stats: Any, extra: int,
                    momentum: float = BN_MOMENTUM) -> Any:
     """Advance BatchNorm running stats by ``extra`` additional EMA ticks of the
