@@ -220,3 +220,18 @@ def test_on_device_epochs_pairs(tmp_path, pairs):
     trainer.fit(state, pairs, pairs, n_epochs=1, grid_every=0, on_device=True)
     res = ResultsCSV(os.path.join(d, "results.csv"))
     assert np.isfinite(res.rows[-1]["loss_encoder"])
+
+
+def test_profile_flag_writes_trace(tmp_path, images):
+    """--profile dumps a jax.profiler trace of the second epoch (SURVEY §5.1)."""
+    cfg = TINY
+    spe = N // cfg.train.batch_size
+    state, steps, kwargs = BUILDERS["vgan_stage1"](
+        cfg, steps_per_epoch=spe, donate=False)
+    d = create_run_dir(str(tmp_path), "prof", timestamp="t")
+    trainer = Trainer(cfg, steps, d, tensorboard=False, profile=True, **kwargs)
+    trainer.fit(state, images, images, n_epochs=2, grid_every=0)
+    prof = os.path.join(d, "profile")
+    assert os.path.isdir(prof)
+    found = [f for root, _, files in os.walk(prof) for f in files]
+    assert found  # trace artifacts were written
