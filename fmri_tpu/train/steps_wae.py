@@ -33,7 +33,8 @@ from fmri_tpu.train.state import TrainState
 from fmri_tpu.train.steps_vgan import StepFns, _split_triplet
 
 
-def make_wae_stage1_step(cfg: Config, lr_schedule=None, donate: bool = True) -> StepFns:
+def make_wae_stage1_step(cfg: Config, lr_schedule=None, donate: bool = True,
+                         backward: str = "spliced") -> StepFns:
     """Stage-I WAE/GAN on images (``train_wae_stage1.py``).
 
     Groups: encoder (visual), decoder, latent_disc.
@@ -41,6 +42,11 @@ def make_wae_stage1_step(cfg: Config, lr_schedule=None, donate: bool = True) -> 
     N(0, sigma^2); Adam at 0.5x lr (``:223-224``).
     Phase 2 (``:292-311``): enc+dec on sum-squared recon + adversarial penalty
     against the updated D.
+
+    ``backward='spliced'`` (default) runs the encoder forward once and feeds
+    phase 2 through VJP splicing (the reference — and ``'naive'`` — recompute
+    the encoder in phase 2, ``:275,:296``); gradients are identical
+    (``tests/test_steps.py``).
     """
     c = cfg.model
     t = cfg.train
@@ -59,11 +65,19 @@ def make_wae_stage1_step(cfg: Config, lr_schedule=None, donate: bool = True) -> 
         lr = lr_schedule(state.step)
 
         # ---- Phase 1: latent discriminator (encoder/decoder frozen) ----
-        (mu, _lv), enc_s1 = apply_with_stats(
-            enc, p["encoder"], state.batch_stats["encoder"], x, train=True)
+        if backward == "spliced":
+            def enc_fn(enc_p):
+                (mu_, lv_), s = apply_with_stats(
+                    enc, enc_p, state.batch_stats["encoder"], x, train=True)
+                return mu_, s
+
+            mu, enc_vjp, enc_s2 = jax.vjp(enc_fn, p["encoder"], has_aux=True)
+        else:
+            (mu, _lv), _ = apply_with_stats(
+                enc, p["encoder"], state.batch_stats["encoder"], x, train=True)
 
         def d_loss(ld_p):
-            d_real = ldisc.apply({"params": ld_p}, mu)
+            d_real = ldisc.apply({"params": ld_p}, jax.lax.stop_gradient(mu))
             d_fake = ldisc.apply({"params": ld_p}, z_fake)
             loss_fake = -lam * jnp.sum(jnp.log(d_fake + LOG_EPS))
             loss_real = -lam * jnp.sum(jnp.log(1.0 - d_real + LOG_EPS))
@@ -75,19 +89,38 @@ def make_wae_stage1_step(cfg: Config, lr_schedule=None, donate: bool = True) -> 
             g_d, state.opt_state["latent_disc"], p["latent_disc"], 0.5 * lr, 1.0)
 
         # ---- Phase 2: generator vs the UPDATED discriminator ----
-        def g_loss(enc_p, dec_p):
-            (mu2, _), enc_s = apply_with_stats(
-                enc, enc_p, state.batch_stats["encoder"], x, train=True)
-            x_recon, dec_s = apply_with_stats(
-                dec, dec_p, state.batch_stats["decoder"], mu2, train=True)
-            d_real = ldisc.apply({"params": new_ld}, mu2)
-            loss_recon = wae_recon_sum(x_recon, x)
-            loss_pen = wae_penalty_sum(d_real, lam)
-            return loss_recon + loss_pen, (loss_recon, loss_pen, enc_s, dec_s, x_recon)
+        if backward == "spliced":
+            def dec_fn(dec_p, mu_in):
+                return apply_with_stats(dec, dec_p, state.batch_stats["decoder"],
+                                        mu_in, train=True)
 
-        (_, (loss_recon, loss_pen, enc_s2, dec_s, x_recon)), (g_e, g_dcd) = (
-            jax.value_and_grad(g_loss, argnums=(0, 1), has_aux=True)(
-                p["encoder"], p["decoder"]))
+            x_recon, dec_vjp, dec_s = jax.vjp(dec_fn, p["decoder"], mu,
+                                              has_aux=True)
+            loss_recon = wae_recon_sum(x_recon, x)
+            g_dcd, gmu_rec = dec_vjp(x_recon - x)  # d/d(x_recon) of sum 0.5(.)^2
+
+            def pen_of_mu(mu_):
+                return wae_penalty_sum(ldisc.apply({"params": new_ld}, mu_), lam)
+
+            loss_pen, gmu_pen = jax.value_and_grad(pen_of_mu)(
+                jax.lax.stop_gradient(mu))
+            g_e = enc_vjp(gmu_rec + gmu_pen)[0]
+        else:
+            def g_loss(enc_p, dec_p):
+                (mu2, _), enc_s = apply_with_stats(
+                    enc, enc_p, state.batch_stats["encoder"], x, train=True)
+                x_recon, dec_s = apply_with_stats(
+                    dec, dec_p, state.batch_stats["decoder"], mu2, train=True)
+                d_real = ldisc.apply({"params": new_ld}, mu2)
+                loss_recon = wae_recon_sum(x_recon, x)
+                loss_pen = wae_penalty_sum(d_real, lam)
+                return loss_recon + loss_pen, (loss_recon, loss_pen, enc_s,
+                                               dec_s, x_recon)
+
+            (_, (loss_recon, loss_pen, enc_s2, dec_s, x_recon)), (g_e, g_dcd) = (
+                jax.value_and_grad(g_loss, argnums=(0, 1), has_aux=True)(
+                    p["encoder"], p["decoder"]))
+
         new_enc, new_enc_opt = opt_g.update(
             g_e, state.opt_state["encoder"], p["encoder"], lr, 1.0)
         new_dec, new_dec_opt = opt_g.update(

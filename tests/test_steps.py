@@ -457,6 +457,50 @@ class TestSplicedBackward:
                                        rtol=2e-4, atol=2e-6)
 
 
+    def test_wae_stage1_spliced_equals_naive(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.train import (
+            Adam, init_latent_disc, init_vaegan, make_state, make_wae_stage1_step,
+        )
+
+        cfg = TINY
+        k1, k2 = jax.random.split(jax.random.key(0))
+        groups = init_vaegan(k1, cfg)
+        g = {k: {"params": groups["params"][k],
+                 "batch_stats": groups["batch_stats"][k]}
+             for k in ("encoder", "decoder")}
+        g["latent_disc"] = init_latent_disc(k2, cfg, init_scheme="uniform")
+        x = jax.random.uniform(
+            jax.random.key(1),
+            (8, cfg.model.image_size, cfg.model.image_size, 3),
+            minval=-1.0, maxval=1.0)
+        results = {}
+        for backward in ("naive", "spliced"):
+            step = make_wae_stage1_step(cfg, donate=False, backward=backward)
+            opt = Adam(b1=cfg.train.adam_b1, b2=cfg.train.adam_b2)
+            state = make_state(g, {k: opt for k in g})
+            new_state, metrics = step.train_step(state, x, jax.random.key(2))
+            results[backward] = (new_state, metrics)
+        sn, mn = results["naive"]
+        ss, ms = results["spliced"]
+        for k in mn:
+            np.testing.assert_allclose(float(np.asarray(mn[k])),
+                                       float(np.asarray(ms[k])),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+        for a, b_ in zip(jax.tree_util.tree_leaves(sn.params),
+                         jax.tree_util.tree_leaves(ss.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-6)
+        for a, b_ in zip(jax.tree_util.tree_leaves(sn.batch_stats),
+                         jax.tree_util.tree_leaves(ss.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-6)
+
+
 class TestSupervisedLoops:
     """Generic supervised loops (train_utils.py:474-675)."""
 
