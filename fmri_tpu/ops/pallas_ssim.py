@@ -11,6 +11,10 @@ directly — no intermediate HBM traffic.
 
 Grid: (B, C).  Block = one padded channel plane.  On non-TPU backends the
 kernel runs in interpreter mode (tests), so the API is usable everywhere.
+
+Forward-only (a metric, like the reference's use at ``train_utils.py:740``):
+no custom VJP is defined.  For a differentiable SSIM (e.g. as a loss) use
+``fmri_tpu.metrics.quality.ssim``, whose depthwise convs are XLA-differentiable.
 """
 
 from __future__ import annotations
