@@ -54,6 +54,15 @@ class ModelConfig:
     # (TPU fast path: bf16 conv/matmul operands, fp32 accumulation, fp32
     # params/BatchNorm).  No reference counterpart — PyTorch 1.4 trains fp32.
     compute_dtype: str | None = None
+    # Decode the reconstruction and the prior sample in ONE 2B decoder call
+    # instead of two sequential B calls.  Semantic delta vs the reference:
+    # the decoder's BatchNorm computes batch statistics over the combined 2B
+    # batch and its EMA ticks once per step instead of twice (the reference
+    # decodes sequentially via vae_gan.py:277-281).  Measured on v5e: the
+    # isolated decoder forward is ~20% faster fused, but the END-TO-END step
+    # is ~7% slower (worse backward scheduling), so this stays off; kept as a
+    # documented, equivalence-tested experiment.
+    fused_decoder_batch: bool = False
 
     @property
     def fc_flat(self) -> int:

@@ -93,11 +93,23 @@ def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
         lr_schedule = lambda step: jnp.float32(t.learning_rate)
     uses_B = mode in ("vae-gan", "beta-vae")  # feature-matching in enc/dec loss
 
+    def decode_pair(dec_p, stats_d, z, z_p):
+        """x_tilde and x_p: two sequential decodes (reference semantics) or
+        one fused 2B decode (cfg.model.fused_decoder_batch)."""
+        if c.fused_decoder_batch:
+            both, dec_s = apply_with_stats(
+                dec, dec_p, stats_d, jnp.concatenate([z, z_p], axis=0),
+                train=True)
+            b = z.shape[0]
+            return both[:b], both[b:], dec_s
+        x_tilde, dec_s1 = apply_with_stats(dec, dec_p, stats_d, z, train=True)
+        x_p, dec_s2 = apply_with_stats(dec, dec_p, dec_s1, z_p, train=True)
+        return x_tilde, x_p, dec_s2
+
     def forward(enc_p, dec_p, disc_p, stats, x, eps, z_p):
         (mu, lv), enc_s = apply_with_stats(enc, enc_p, stats["encoder"], x, train=True)
         z = mu + eps * jnp.exp(0.5 * lv)
-        x_tilde, dec_s1 = apply_with_stats(dec, dec_p, stats["decoder"], z, train=True)
-        x_p, dec_s2 = apply_with_stats(dec, dec_p, dec_s1, z_p, train=True)
+        x_tilde, x_p, dec_s2 = decode_pair(dec_p, stats["decoder"], z, z_p)
         concat = jnp.concatenate([x, x_tilde, x_p], axis=0)
         (feats, score), disc_s = apply_with_stats(
             disc, disc_p, stats["discriminator"], concat, train=True)
@@ -149,10 +161,8 @@ def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
         (z, mu, lv), enc_vjp, enc_s = jax.vjp(enc_fn, p["encoder"], has_aux=True)
 
         def dec_fn(dec_p, z_in):
-            xt, s1 = apply_with_stats(dec, dec_p, stats["decoder"], z_in,
-                                      train=True)
-            xp, s2 = apply_with_stats(dec, dec_p, s1, z_p, train=True)
-            return (xt, xp), s2
+            xt, xp, s = decode_pair(dec_p, stats["decoder"], z_in, z_p)
+            return (xt, xp), s
 
         (x_tilde, x_p), dec_vjp, dec_s = jax.vjp(dec_fn, p["decoder"], z,
                                                  has_aux=True)

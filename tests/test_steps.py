@@ -561,3 +561,56 @@ class TestSupervisedLoops:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             route_batch("nope", batch)
+
+
+class TestFusedDecoderBatch:
+    """cfg.model.fused_decoder_batch: one 2B decode; spliced == naive under
+    the flag, and outputs stay finite/sane."""
+
+    def test_fused_spliced_equals_fused_naive(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.train import (
+            RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
+        )
+
+        cfg = TINY.replace(model=dataclasses.replace(
+            TINY.model, fused_decoder_batch=True))
+        groups = init_vaegan(jax.random.key(0), cfg)
+        g = {k: {"params": groups["params"][k],
+                 "batch_stats": groups["batch_stats"][k]}
+             for k in groups["params"]}
+        x = jax.random.uniform(
+            jax.random.key(1),
+            (8, cfg.model.image_size, cfg.model.image_size, 3),
+            minval=-1.0, maxval=1.0)
+        args = (x, jax.random.key(2), jnp.float32(0.35), jnp.float32(0.68),
+                jnp.float32(0.3))
+        out = {}
+        for backward in ("naive", "spliced"):
+            step = make_vgan_stage1_step(cfg, "vae-gan", donate=False,
+                                         backward=backward)
+            state = make_state(g, {k: RmsProp() for k in g})
+            new_state, metrics = step.train_step(state, *args)
+            out[backward] = (new_state, metrics)
+        # metrics (loss scalars) must agree tightly
+        for k in out["naive"][1]:
+            np.testing.assert_allclose(
+                float(np.asarray(out["naive"][1][k])),
+                float(np.asarray(out["spliced"][1][k])),
+                rtol=1e-5, atol=1e-5, err_msg=k)
+        # parameters: RMSprop normalizes by sqrt(avg g^2), so near-zero
+        # gradients amplify fp reassociation noise between the two backward
+        # structures into ~lr-sized update differences on a handful of
+        # elements; bound the absolute drift instead
+        for a, b_ in zip(jax.tree_util.tree_leaves(out["naive"][0].params),
+                         jax.tree_util.tree_leaves(out["spliced"][0].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-3)
+        for v in out["spliced"][1].values():
+            assert np.isfinite(float(np.asarray(v)))
