@@ -411,3 +411,22 @@ def test_device_iterator_propagates_producer_errors():
     assert first.shape == (4, 2)
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(it)
+
+
+def test_bold5000_volumes_peak_frames(tmp_path, image_dir):
+    """Raw-session dataset: 4-D NIfTI load + peak-frame averaging
+    (data_loader.py:26-85; window trial*5+2 : trial*5+4 at :75)."""
+    from fmri_tpu.data import Bold5000Volumes
+
+    rng = np.random.default_rng(11)
+    vol = rng.normal(size=(4, 5, 6, 15)).astype(np.float32)
+    fpath = str(tmp_path / "run.nii.gz")
+    nifti.save(fpath, vol)
+    img = os.path.join(image_dir, "img_000.png")
+    ds = Bold5000Volumes([fpath], [img], trials=[2])  # 1-based trial 2
+    assert len(ds) == 1
+    s = ds.get(0)
+    # trial 2 -> t0 = (2-1)*5 = 5; frames 7:9 averaged; axes -> (z, x, y)
+    expect = vol[..., 7:9].mean(axis=3).transpose(2, 0, 1)
+    np.testing.assert_allclose(s["fmri"], expect, rtol=1e-6)
+    assert s["image"].shape[2] == 3
