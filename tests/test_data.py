@@ -430,3 +430,48 @@ def test_bold5000_volumes_peak_frames(tmp_path, image_dir):
     expect = vol[..., 7:9].mean(axis=3).transpose(2, 0, 1)
     np.testing.assert_allclose(s["fmri"], expect, rtol=1e-6)
     assert s["image"].shape[2] == 3
+
+
+def test_extract_roi_by_mask(tmp_path):
+    """Mask-based extraction from an fmriprep-style layout: 5-TR stimulus
+    windows from events onsets (onset/2 = start TR) + trailing no-stimulus
+    window (roi_extraction.py:16-104)."""
+    import csv as _csv
+
+    from fmri_tpu.data.etl import extract_roi_by_mask
+
+    rng = np.random.default_rng(12)
+    # mask: 3x3x2 volume, 4 voxels active
+    mask = np.zeros((3, 3, 2), np.float32)
+    mask.flat[[0, 5, 9, 12]] = 1.0
+    mdir = tmp_path / "spm" / "CSI1"
+    mdir.mkdir(parents=True)
+    nifti.save(str(mdir / "mask.nii.gz"), mask)
+
+    # preproc run: 20 TRs
+    img = rng.normal(size=(3, 3, 2, 20)).astype(np.float32)
+    pdir = tmp_path / "fmriprep" / "CSI1" / "ses-01" / "func"
+    pdir.mkdir(parents=True)
+    nifti.save(str(pdir / "sub-CSI1_ses-01_task-5000scenes_run-01_preproc.nii.gz"),
+               img)
+
+    # events: onsets 6s and 16s -> TRs 3 and 8
+    edir = tmp_path / "events" / "sub-CSI1" / "ses-01" / "func"
+    edir.mkdir(parents=True)
+    with open(edir / "sub-CSI1_ses-01_task-5000scenes_run-01_events.tsv", "w") as f:
+        w = _csv.writer(f, delimiter="\t")
+        w.writerow(["onset", "ImgName"])
+        w.writerow([6.0, "a.png"])
+        w.writerow([16.0, "b.png"])
+
+    out = extract_roi_by_mask(str(tmp_path / "fmriprep"),
+                              str(tmp_path / "events"),
+                              str(tmp_path / "spm"))
+    X, Y, meta = out["CSI1"]
+    # 2 stimulus windows + 1 trailing no-stimulus window (20 - 13 >= 5)
+    assert Y == ["a.png", "b.png", "none"]
+    assert X[0].shape == (5, 4)  # 5 TRs x 4 masked voxels
+    roi = img[mask.astype(bool)]
+    np.testing.assert_allclose(X[0], roi[:, 3:8].T, rtol=1e-6)
+    np.testing.assert_allclose(X[1], roi[:, 8:13].T, rtol=1e-6)
+    np.testing.assert_allclose(X[2], roi[:, 13:18].T, rtol=1e-6)
