@@ -226,6 +226,13 @@ class Trainer:
                 gen = self.steps.generate_step(state, rng, nrow * 2)
                 g = np.asarray(denormalize(gen, self._mean, self._std))
                 save_image_grid(g, f"{base}_generated{ext}", nrow=nrow)
+                self.tb.image_grid("generated", g, int(state.step), nrow=nrow)
+            # the same panels to TensorBoard (reference writer.add_image,
+            # train_vgan_stage1.py:545-565)
+            self.tb.image_grid("reconstructed", r[: nrow * 2], int(state.step),
+                               nrow=nrow)
+            self.tb.image_grid("original", t[: nrow * 2], int(state.step),
+                               nrow=nrow)
         return {k: v / count for k, v in sums.items()}
 
     # ------------------------------------------------------------------

@@ -475,3 +475,25 @@ def test_extract_roi_by_mask(tmp_path):
     np.testing.assert_allclose(X[0], roi[:, 3:8].T, rtol=1e-6)
     np.testing.assert_allclose(X[1], roi[:, 8:13].T, rtol=1e-6)
     np.testing.assert_allclose(X[2], roi[:, 13:18].T, rtol=1e-6)
+
+
+def test_nifti_big_endian(tmp_path):
+    """Big-endian NIfTI-1 (legacy scanners write BE): header byte order is
+    detected from sizeof_hdr and data decoded accordingly."""
+    import struct
+
+    vol = np.arange(24, dtype=">i2").reshape(2, 3, 4)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    dim = [3, 2, 3, 4, 1, 1, 1, 1]
+    struct.pack_into(">8h", hdr, 40, *dim)
+    struct.pack_into(">h", hdr, 70, 4)    # int16
+    struct.pack_into(">h", hdr, 72, 16)   # bitpix
+    struct.pack_into(">f", hdr, 108, 352.0)
+    struct.pack_into(">2f", hdr, 112, 1.0, 0.0)
+    hdr[344:348] = b"n+1\x00"
+    path = tmp_path / "be.nii"
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4 + vol.tobytes(order="F"))
+    img = nifti.load(str(path))
+    np.testing.assert_array_equal(img.get_fdata(), vol.astype(np.float64))
