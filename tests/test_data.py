@@ -497,3 +497,16 @@ def test_nifti_big_endian(tmp_path):
         f.write(bytes(hdr) + b"\x00" * 4 + vol.tobytes(order="F"))
     img = nifti.load(str(path))
     np.testing.assert_array_equal(img.get_fdata(), vol.astype(np.float64))
+
+
+def test_path_helpers():
+    from fmri_tpu.data.etl import get_fmri_path, get_identifier, snake_case
+
+    assert get_fmri_path(1, 2, 3, "/root") == (
+        "/root/sub-CSI1/ses-02/func/"
+        "sub-CSI1_ses-02_task-5000scenes_run-03_bold.nii.gz")
+    # identifier rules (data_utils.py:10-22)
+    assert get_identifier("COCO_train2014_000000123456.jpg", "coco") == "123456"
+    assert get_identifier("n01440764_10026.JPEG", "imagenet") == "n01440764_10026"
+    assert get_identifier("beach_1.jpg", "scenes") == "beach_1"
+    assert snake_case("LHEarlyVis") == "lh_early_vis"
