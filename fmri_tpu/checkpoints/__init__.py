@@ -1,4 +1,5 @@
 from fmri_tpu.checkpoints.store import (  # noqa: F401
-    graft_groups, latest_epoch, list_checkpoints, load_groups,
-    restore_checkpoint, save_checkpoint,
+    AsyncCheckpointWriter, checkpoint_meta, graft_groups, latest_epoch,
+    list_checkpoints, load_groups, prune_checkpoints, restore_checkpoint,
+    save_checkpoint,
 )

@@ -55,22 +55,32 @@ def latest_epoch(ckpt_dir: str) -> Optional[int]:
     return max(cps) if cps else None
 
 
-def save_checkpoint(ckpt_dir: str, epoch: int, state: "TrainState",
-                    meta: Optional[Mapping[str, Any]] = None) -> str:
-    """Write ``ckpt_dir/ckpt_<epoch>`` with the full TrainState + metadata."""
+def _write_checkpoint(ckpt_dir: str, epoch: int, host_tree: Dict[str, Any],
+                      meta: Dict[str, Any]) -> str:
+    """Write an already-host-resident tree to ``ckpt_dir/ckpt_<epoch>``."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_path(ckpt_dir, epoch)
     os.makedirs(ckpt_dir, exist_ok=True)
-    tree = {"params": state.params, "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state, "step": state.step}
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(tree), force=True)
-    meta = dict(meta or {})
+        ckptr.save(path, host_tree, force=True)
+    meta = dict(meta)
     meta["epoch"] = epoch
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     return path
+
+
+def _host_tree(state: "TrainState") -> Dict[str, Any]:
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    return jax.device_get(tree)
+
+
+def save_checkpoint(ckpt_dir: str, epoch: int, state: "TrainState",
+                    meta: Optional[Mapping[str, Any]] = None) -> str:
+    """Write ``ckpt_dir/ckpt_<epoch>`` with the full TrainState + metadata."""
+    return _write_checkpoint(ckpt_dir, epoch, _host_tree(state), dict(meta or {}))
 
 
 def restore_checkpoint(ckpt_dir: str, template: "TrainState",
@@ -163,6 +173,99 @@ def load_groups(ckpt_dir: str, names: Sequence[str],
     return {n: {"params": restored["params"][n],
                 "batch_stats": restored["batch_stats"].get(n, {})}
             for n in names}
+
+
+def checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Read a checkpoint's ``meta.json`` ({} if absent)."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def prune_checkpoints(ckpt_dir: str, *, keep_last: int = 0, keep_best: int = 0,
+                      best_metric: str = "valid_PCC", best_mode: str = "max",
+                      keep_every: int = 0) -> "list[int]":
+    """Delete checkpoints not covered by the retention policy; return the
+    deleted epochs.
+
+    The retained set is the UNION of: the ``keep_last`` most recent epochs,
+    the ``keep_best`` epochs with the best ``best_metric`` recorded in their
+    ``meta.json`` (``best_mode`` 'max'|'min'; checkpoints without the metric
+    are never counted as best), and every ``keep_every``-th epoch.  A zero
+    disables that clause; all zeros means keep everything (the reference's
+    behaviour — it never deletes a ``.pth``, ``train_vgan_stage1.py:596-598``).
+    The latest checkpoint is always retained.
+    """
+    cps = list_checkpoints(ckpt_dir)
+    if not cps or (not keep_last and not keep_best and not keep_every):
+        return []
+    epochs = sorted(cps)
+    keep = {epochs[-1]}
+    if keep_last:
+        keep.update(epochs[-keep_last:])
+    if keep_every:
+        keep.update(e for e in epochs if e % keep_every == 0)
+    if keep_best:
+        scored = []
+        for e in epochs:
+            v = checkpoint_meta(cps[e]).get("metrics", {}).get(best_metric)
+            if v is not None:
+                scored.append((float(v), e))
+        scored.sort(reverse=(best_mode == "max"))
+        keep.update(e for _, e in scored[:keep_best])
+    import shutil
+
+    deleted = []
+    for e in epochs:
+        if e not in keep:
+            shutil.rmtree(cps[e])
+            deleted.append(e)
+    return deleted
+
+
+class AsyncCheckpointWriter:
+    """Background checkpoint writer: the device->host transfer happens on the
+    caller's thread (so donated buffers from the next step can't clobber the
+    values), the orbax/file write happens on a worker thread, overlapping the
+    next epoch's compute.  One in-flight save at a time; a new save or
+    :meth:`wait` joins the previous one first and re-raises its error.
+    """
+
+    def __init__(self) -> None:
+        self._thread = None
+        self._error: Optional[BaseException] = None
+        self.last_path: Optional[str] = None
+
+    def save(self, ckpt_dir: str, epoch: int, state: "TrainState",
+             meta: Optional[Mapping[str, Any]] = None, *,
+             prune: Optional[Mapping[str, Any]] = None) -> None:
+        import threading
+
+        self.wait()
+        host = _host_tree(state)  # sync transfer before the caller mutates state
+        meta = dict(meta or {})
+
+        def _work() -> None:
+            try:
+                self.last_path = _write_checkpoint(ckpt_dir, epoch, host, meta)
+                if prune:
+                    prune_checkpoints(ckpt_dir, **prune)
+            except BaseException as e:  # re-raised on the caller's thread
+                self._error = e
+
+        self._thread = threading.Thread(target=_work, daemon=True,
+                                        name=f"ckpt-write-{epoch}")
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def graft_groups(groups: Dict[str, Dict[str, Any]],

@@ -8,6 +8,9 @@ from fmri_tpu.data.etl import (  # noqa: F401
     get_fmri_path, get_identifier, get_stimuli_path, max_roi_length,
     split_dataset, train_test_stimuli_split, zscore,
 )
+from fmri_tpu.data.packed import (  # noqa: F401
+    is_packed_dir, open_packed, save_packed,
+)
 from fmri_tpu.data.pipeline import Batches, device_iterator  # noqa: F401
 from fmri_tpu.data.transforms import (  # noqa: F401
     center_crop, decode_image, denormalize, eval_preprocess, grey_to_color,

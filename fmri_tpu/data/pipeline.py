@@ -48,12 +48,15 @@ class Batches:
     """
 
     def __init__(self, data: Batch, batch_size: int, *, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, transform=None):
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # per-batch host transform, applied after indexing — e.g. the uint8
+        # dequantizer from fmri_tpu.data.packed (streaming mmap datasets)
+        self.transform = transform
         self.epoch = 0
         n = _num_examples(data)
         if drop_last:
@@ -77,7 +80,8 @@ class Batches:
         self.epoch += 1
         for b in range(self.num_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            yield _index(self.data, idx)
+            batch = _index(self.data, idx)
+            yield self.transform(batch) if self.transform is not None else batch
 
 
 def device_iterator(batches, *, mesh=None, voxel_tp: bool = False,

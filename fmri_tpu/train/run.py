@@ -108,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on-device-epochs", action="store_true",
                    help="run each epoch as one lax.scan over the "
                         "device-resident dataset (needs it to fit in HBM)")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="write checkpoints on a background thread "
+                        "(overlaps the next epoch's compute)")
+    p.add_argument("--keep-last", type=int, default=0,
+                   help="retain only the K most recent checkpoints "
+                        "(0 = keep all, the reference behaviour)")
+    p.add_argument("--keep-best", type=int, default=0,
+                   help="also retain the K checkpoints with the best "
+                        "valid_PCC (0 = off)")
     return p
 
 
@@ -275,9 +284,14 @@ def main(argv=None) -> int:
     mesh, voxel_tp = _parse_mesh(args.mesh)
     run_dir = args.resume_dir or create_run_dir(
         args.output, builder_name, debug=args.debug)
+    retention = None
+    if args.keep_last or args.keep_best:
+        retention = dict(keep_last=args.keep_last, keep_best=args.keep_best)
     trainer = Trainer(cfg, steps, run_dir, mesh=mesh,
                       voxel_tp=voxel_tp and args.stage >= 2,
-                      debug=args.debug, profile=args.profile, **tkw)
+                      debug=args.debug, profile=args.profile,
+                      async_ckpt=args.async_ckpt, ckpt_retention=retention,
+                      **tkw)
 
     start_epoch = 0
     if args.resume_dir:

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from fmri_tpu.configs.presets import Config
-from fmri_tpu.checkpoints.store import restore_checkpoint, save_checkpoint
+from fmri_tpu.checkpoints.store import (
+    AsyncCheckpointWriter, prune_checkpoints, restore_checkpoint,
+    save_checkpoint,
+)
 from fmri_tpu.data.pipeline import Batches, device_iterator
 from fmri_tpu.data.transforms import denormalize, train_augment
 from fmri_tpu.metrics.quality import mse as mse_fn
@@ -117,7 +120,8 @@ class Trainer:
                  augment: Optional[Mapping[str, Any]] = None,
                  eval_sample: bool = True, mesh=None, voxel_tp: bool = False,
                  debug: bool = False, tensorboard: bool = True,
-                 profile: bool = False):
+                 profile: bool = False, async_ckpt: bool = False,
+                 ckpt_retention: Optional[Mapping[str, Any]] = None):
         self.cfg = cfg
         self.steps = steps
         self.run_dir = run_dir
@@ -139,6 +143,12 @@ class Trainer:
         self.results = ResultsCSV(os.path.join(run_dir, "results.csv"))
         self.tb = TensorBoard(run_dir, enabled=tensorboard)
         self.ckpt_dir = os.path.join(run_dir, "checkpoints")
+        # Retention policy (keep-last-K / keep-best-K / keep-every-N) and
+        # async writes — deliberate extensions over the reference, which saves
+        # every 5/10 epochs forever and blocks training during torch.save
+        # (train_vgan_stage1.py:596-598).
+        self._ckpt_retention = dict(ckpt_retention) if ckpt_retention else None
+        self._ckpt_writer = AsyncCheckpointWriter() if async_ckpt else None
 
         aug = dict(flip=False, max_shift=0)
         aug.update(augment or {})
@@ -364,8 +374,7 @@ class Trainer:
                     " ".join(f"{k}={v:.5f}" for k, v in row.items() if k != "epoch"))
 
                 if t.ckpt_every and epoch % t.ckpt_every == 0 and not self.debug:
-                    save_checkpoint(self.ckpt_dir, epoch, state,
-                                    meta={"seed": seed})
+                    self._save_ckpt(epoch, state, seed, row)
 
                 if epoch_callback is not None:
                     epoch_callback(epoch, state, row)
@@ -389,8 +398,23 @@ class Trainer:
             self.tb.close()
 
         if not self.debug:
-            save_checkpoint(self.ckpt_dir, final_epoch, state, meta={"seed": seed})
+            self._save_ckpt(final_epoch, state, seed)
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
         return state
+
+    def _save_ckpt(self, epoch: int, state: TrainState, seed: int,
+                   row: Optional[Mapping[str, float]] = None) -> None:
+        meta = {"seed": seed}
+        if row:
+            meta["metrics"] = {k: float(v) for k, v in row.items() if k != "epoch"}
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.save(self.ckpt_dir, epoch, state, meta,
+                                   prune=self._ckpt_retention)
+        else:
+            save_checkpoint(self.ckpt_dir, epoch, state, meta)
+            if self._ckpt_retention:
+                prune_checkpoints(self.ckpt_dir, **self._ckpt_retention)
 
     def _place(self, state: TrainState) -> TrainState:
         if self.mesh is None:

@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 
 from fmri_tpu.checkpoints import (
-    graft_groups, latest_epoch, load_groups, restore_checkpoint, save_checkpoint,
+    AsyncCheckpointWriter, graft_groups, latest_epoch, list_checkpoints,
+    load_groups, prune_checkpoints, restore_checkpoint, save_checkpoint,
 )
 from fmri_tpu.configs import TINY
 from fmri_tpu.train import RmsProp, init_cognitive, init_vaegan, make_state
@@ -73,3 +74,57 @@ def test_stage_handoff_graft(tmp_path):
     opt = RmsProp(clip=1.0)
     state2 = make_state(groups, {"encoder": opt, "discriminator": opt})
     assert set(state2.opt_state) == {"encoder", "discriminator"}
+
+
+def test_prune_retention_policy(tmp_path):
+    """keep_last / keep_best / keep_every compose as a union; the latest
+    checkpoint always survives; all-zeros keeps everything."""
+    state = _tiny_state()
+    d = str(tmp_path / "ckpts")
+    pccs = {5: 0.30, 10: 0.90, 15: 0.60, 20: 0.85, 25: 0.40}
+    for e, pcc in pccs.items():
+        save_checkpoint(d, e, state, meta={"metrics": {"valid_PCC": pcc}})
+
+    assert prune_checkpoints(d) == []          # no policy -> no deletions
+    assert sorted(list_checkpoints(d)) == [5, 10, 15, 20, 25]
+
+    deleted = prune_checkpoints(d, keep_last=1, keep_best=2)
+    # keep 25 (last) + 10, 20 (best PCC); drop 5, 15
+    assert deleted == [5, 15]
+    assert sorted(list_checkpoints(d)) == [10, 20, 25]
+
+    deleted = prune_checkpoints(d, keep_last=1, keep_every=20)
+    assert deleted == [10]                     # 20 kept by keep_every, 25 latest
+    assert sorted(list_checkpoints(d)) == [20, 25]
+
+    # restore of a survivor still works
+    restored, meta = restore_checkpoint(d, state, epoch=20)
+    assert meta["metrics"]["valid_PCC"] == 0.85
+
+
+def test_prune_without_metric_meta(tmp_path):
+    """Checkpoints lacking the best-metric never count as 'best' but the
+    latest still survives."""
+    state = _tiny_state()
+    d = str(tmp_path / "ckpts")
+    for e in (1, 2, 3):
+        save_checkpoint(d, e, state)
+    deleted = prune_checkpoints(d, keep_best=2)
+    assert deleted == [1, 2] and sorted(list_checkpoints(d)) == [3]
+
+
+def test_async_writer_roundtrip(tmp_path):
+    """Background save produces a checkpoint identical to the sync path and
+    applies the prune policy after each write."""
+    state = _tiny_state()
+    d = str(tmp_path / "ckpts")
+    w = AsyncCheckpointWriter()
+    for e in (5, 10, 15):
+        w.save(d, e, state.replace(step=jnp.int32(e)),
+               meta={"metrics": {"valid_PCC": e / 100.0}},
+               prune=dict(keep_last=2))
+    w.wait()
+    assert sorted(list_checkpoints(d)) == [10, 15]
+    restored, meta = restore_checkpoint(d, state)
+    assert int(restored.step) == 15 and meta["epoch"] == 15
+    _tree_allclose(restored.params, state.params)

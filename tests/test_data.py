@@ -510,3 +510,45 @@ def test_path_helpers():
     assert get_identifier("n01440764_10026.JPEG", "imagenet") == "n01440764_10026"
     assert get_identifier("beach_1.jpg", "scenes") == "beach_1"
     assert snake_case("LHEarlyVis") == "lh_early_vis"
+
+
+class TestPackedStreaming:
+    """Memory-mapped packed store (fmri_tpu.data.packed): datasets larger than
+    host RAM stream from disk; float images round-trip through the uint8 codec
+    within quantization error."""
+
+    def test_dict_roundtrip_mmap(self, tmp_path):
+        from fmri_tpu.data import Batches, is_packed_dir, open_packed, save_packed
+
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(0, 1, (10, 8, 8, 3)).astype(np.float32)
+        fmri = rng.normal(size=(10, 5)).astype(np.float32)
+        d = str(tmp_path / "packed")
+        save_packed(d, {"image": imgs, "fmri": fmri})
+        assert is_packed_dir(d)
+
+        arrays, tf = open_packed(d)
+        assert isinstance(arrays["image"], np.memmap)
+        assert arrays["image"].dtype == np.uint8  # quantized on disk
+        assert arrays["fmri"].dtype == np.float32  # fmri untouched
+
+        batch = next(iter(Batches(arrays, 4, transform=tf)))
+        assert batch["image"].dtype == np.float32
+        assert not isinstance(batch["image"], np.memmap)
+        np.testing.assert_allclose(batch["image"], imgs[:4], atol=1 / 255.0)
+        np.testing.assert_array_equal(batch["fmri"], fmri[:4])
+
+    def test_single_array_and_shuffle_determinism(self, tmp_path):
+        from fmri_tpu.data import Batches, open_packed, save_packed
+
+        imgs = np.random.default_rng(1).uniform(0, 1, (9, 4, 4, 3)).astype(
+            np.float32)
+        d = str(tmp_path / "packed1")
+        save_packed(d, imgs)
+        arr, tf = open_packed(d)
+        assert arr.shape == (9, 4, 4, 3) and arr.dtype == np.uint8
+
+        got = np.concatenate(list(Batches(arr, 3, shuffle=True, seed=7,
+                                          transform=tf)))
+        ref = np.concatenate(list(Batches(imgs, 3, shuffle=True, seed=7)))
+        np.testing.assert_allclose(got, ref, atol=1 / 255.0)

@@ -2,6 +2,8 @@
 parallelism for Stage-I, voxel tensor parallelism for the cognitive stage, and
 single-device-vs-mesh numerical equivalence of a full train step."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,3 +153,47 @@ def test_on_device_epochs_under_mesh(tmp_path):
 
     res = ResultsCSV(os.path.join(d, "results.csv"))
     assert np.isfinite(res.rows[-1]["loss_encoder"])
+
+
+def test_multihost_two_processes():
+    """Real DCN-path validation: two OS processes, each with 2 virtual CPU
+    devices, form one 4-device mesh via ``jax.distributed.initialize``; the
+    global batch is assembled from per-process local shards and a jitted
+    all-reduce crosses the process boundary (tests/multihost_worker.py).
+    The reference has no multi-device story at all (SURVEY.md §2.8)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--port", str(port),
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=root, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, f"worker {i} output:\n{out}"
+    # both processes agree on the globally-reduced value
+    vals = [line.split()[1] for out in outs for line in out.splitlines()
+            if line.startswith("MULTIHOST_OK")]
+    assert len(vals) == 2 and vals[0] == vals[1]
