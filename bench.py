@@ -26,8 +26,8 @@ import time
 
 BASELINE_IMGS_PER_SEC = 1500.0  # estimated CUDA reference (see module docstring)
 BATCH = 256
-WARMUP = 2
-ITERS = 10
+WARMUP = 3
+ITERS = 20
 
 
 def main() -> None:
@@ -54,8 +54,13 @@ def main() -> None:
         minval=-1.0, maxval=1.0)
     margin, eq, lam = jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6)
 
+    # Pre-build the per-step PRNG keys so no host work lands inside the
+    # timed loop (a mid-loop jax.random.key() serializes dispatch).
+    keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
+    jax.block_until_ready(keys)
+
     for i in range(WARMUP):
-        state, metrics = step.train_step(state, x, jax.random.key(i), margin, eq, lam)
+        state, metrics = step.train_step(state, x, keys[i], margin, eq, lam)
     # NOTE: a host transfer, not block_until_ready — on the tunneled TPU
     # platform block_until_ready returns before device completion, which
     # inflated throughput ~15x; float() forces the full dependency chain.
@@ -63,7 +68,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, metrics = step.train_step(state, x, jax.random.key(100 + i),
+        state, metrics = step.train_step(state, x, keys[WARMUP + i],
                                          margin, eq, lam)
     float(metrics["loss_encoder"])
     dt = time.perf_counter() - t0
