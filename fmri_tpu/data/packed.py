@@ -43,9 +43,10 @@ def save_packed(out_dir: str, arrays: Arrays, *,
         n = len(v) if n is None else n
         if len(v) != n:
             raise ValueError(f"array '{k}' length {len(v)} != {n}")
-        if k in quantize and v.dtype != np.uint8:
-            v = (v * 255.0 + 0.5).astype(np.uint8)
-            quantized.append(k)
+        if k in quantize:
+            if v.dtype != np.uint8:
+                v = (v * 255.0 + 0.5).astype(np.uint8)
+            quantized.append(k)  # already-uint8 inputs use the same codec
         np.save(os.path.join(out_dir, f"{k}.npy"), v)
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump({"keys": sorted(arrays), "quantized": quantized,

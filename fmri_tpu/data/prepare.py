@@ -69,6 +69,16 @@ def main(argv=None) -> int:
     sp.add_argument("--root-path", default=None,
                     help="rebase stimulus paths onto this root")
 
+    sp = sub.add_parser(
+        "pack-stream",
+        help="write a memory-mapped streaming dir (datasets > host RAM)")
+    sp.add_argument("--input", "-i", required=True,
+                    help="an .npz cache from 'pack' / CocoImages, an image "
+                         "dir, or a bold record pickle")
+    sp.add_argument("--output", "-o", required=True, help="packed dir")
+    sp.add_argument("--crop", type=int, default=375)
+    sp.add_argument("--size", type=int, default=64)
+
     args = p.parse_args(argv)
 
     from fmri_tpu.data import etl
@@ -107,6 +117,25 @@ def main(argv=None) -> int:
             with open(os.path.join(args.output, f"bold_{tag}.pickle"), "wb") as f:
                 pickle.dump(recs, f)  # reference-compatible record list
         print(json.dumps(summary))
+    elif args.cmd == "pack-stream":
+        import numpy as np
+
+        from fmri_tpu.data.packed import save_packed
+
+        if os.path.isfile(args.input) and args.input.endswith(".npz"):
+            z = np.load(args.input)
+            arrays = {("image" if k == "images" else k): z[k] for k in z.files}
+        elif os.path.isfile(args.input):  # bold record pickle
+            ds = BoldRoiDataset.from_pickle(args.input, crop=args.crop,
+                                            size=args.size)
+            arrays = ds.as_arrays()
+        else:  # image directory
+            from fmri_tpu.data.datasets import CocoImages
+
+            arrays = {"image": CocoImages(args.input, crop=args.crop,
+                                          size=args.size).as_array()}
+        save_packed(args.output, arrays)
+        print(json.dumps({k: list(np.shape(v)) for k, v in arrays.items()}))
     return 0
 
 

@@ -135,7 +135,13 @@ def train_augment(rng: jax.Array, x: jax.Array, *, flip: bool = False,
 
     Stage-I COCO uses ``flip=True, max_shift=0``; Stage-II/III BOLD uses
     ``flip=False, max_shift=5``; eval uses neither (normalize only).
+
+    uint8 batches (the mmap streaming store ``fmri_tpu.data.packed``, shipped
+    to the device undecoded for 4x less H2D traffic) are dequantized here,
+    on device.
     """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
     k_flip, k_shift = jax.random.split(rng)
     if flip:
         x = random_flip_batch(k_flip, x)
@@ -146,6 +152,8 @@ def train_augment(rng: jax.Array, x: jax.Array, *, flip: bool = False,
 
 def eval_preprocess(x: jax.Array, mean: Sequence[float] = (0.5, 0.5, 0.5),
                     std: Sequence[float] = (0.5, 0.5, 0.5)) -> jax.Array:
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
     return normalize(x, mean, std)
 
 

@@ -131,11 +131,41 @@ def _parse_mesh(spec: Optional[str]):
     return mesh, model > 1
 
 
+def _open_packed_split(args, cfg, keys):
+    """Open a mmap streaming dir (``fmri_tpu.data.packed``) as (train, valid).
+
+    Arrays stay memory-mapped uint8/float32 on the host; batches ship to the
+    device undecoded and ``train_augment`` dequantizes there.  ``--valid-input``
+    may name a second packed dir; otherwise a leading 10% slice (a view, still
+    lazy) is held out.
+    """
+    from fmri_tpu.data import is_packed_dir, open_packed
+
+    train, _ = open_packed(args.input)
+    if isinstance(train, dict) and set(keys) - set(train):
+        raise SystemExit(
+            f"packed dir {args.input} lacks arrays {sorted(set(keys) - set(train))}")
+    if args.valid_input:
+        if not is_packed_dir(args.valid_input):
+            raise SystemExit("--valid-input must also be a packed dir when "
+                             "--input is one")
+        valid, _ = open_packed(args.valid_input)
+        return train, valid
+    n = len(next(iter(train.values()))) if isinstance(train, dict) else len(train)
+    k = max(n // 10, cfg.train.batch_size)
+    if isinstance(train, dict):
+        return ({key: v[k:] for key, v in train.items()},
+                {key: v[:k] for key, v in train.items()})
+    return train[k:], train[:k]
+
+
 def _load_images(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
     """Stage-I image data: train/valid float32 [N, S, S, 3] arrays."""
-    from fmri_tpu.data import CocoImages
+    from fmri_tpu.data import CocoImages, is_packed_dir
 
     c = cfg.data
+    if args.input and is_packed_dir(args.input):
+        return _open_packed_split(args, cfg, ("image",))
     if args.dataset == "synthetic":
         from fmri_tpu.data.synthetic import synthetic_images
 
@@ -167,6 +197,11 @@ def _load_pairs(args, cfg):
     )
 
     c = cfg.data
+    if args.input and os.path.isdir(args.input):
+        from fmri_tpu.data import is_packed_dir
+
+        if is_packed_dir(args.input):
+            return _open_packed_split(args, cfg, ("fmri", "image"))
     if args.dataset == "synthetic":
         from fmri_tpu.data.synthetic import synthetic_pairs
 

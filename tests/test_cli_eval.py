@@ -227,3 +227,35 @@ def test_cli_mnist69_path(tmp_path):
     assert len(train["fmri"]) + len(valid["fmri"]) == 40
     assert train["image"].shape[1:] == (TINY.model.image_size,
                                         TINY.model.image_size, 3)
+
+
+def test_cli_streaming_packed_dir(tmp_path):
+    """pack-stream -> train from the mmap dir: uint8 batches stream from disk
+    and are dequantized on device (fmri_tpu.data.packed + train_augment)."""
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.data.synthetic import synthetic_images
+
+    imgs, _ = synthetic_images(48, TINY.model.image_size, seed=0)
+    npz = str(tmp_path / "imgs.npz")
+    np.savez(npz, images=(imgs * 255.0 + 0.5).astype(np.uint8))
+
+    packed = str(tmp_path / "packed")
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.data.prepare", "pack-stream",
+         "-i", npz, "-o", packed],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(packed, "image.npy"))
+
+    out = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.train.run", "--family", "vgan",
+         "--stage", "1", "--preset", "tiny", "--dataset", "coco",
+         "--input", packed, "--epochs", "1", "-o", out],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    found = [root for root, _, files in os.walk(out) if "results.csv" in files]
+    assert len(found) == 1
+    with open(os.path.join(found[0], "results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1 and np.isfinite(float(rows[0]["loss_encoder"]))
