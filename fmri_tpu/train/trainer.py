@@ -341,6 +341,10 @@ class Trainer:
 
                 if self.profile and epoch == start_epoch + 1:
                     jax.profiler.stop_trace()
+                    self.logger.info(
+                        "profile trace written; summarize with: python -m "
+                        "fmri_tpu.utils.profile_report %s",
+                        os.path.join(self.run_dir, "profile"))
                 sched.epoch_end()
 
                 row: Dict[str, float] = {"epoch": float(epoch)}

@@ -4,6 +4,7 @@ import math
 import os
 
 import numpy as np
+import pytest
 
 from fmri_tpu.configs import TINY
 from fmri_tpu.train.trainer import EarlyStopping, GameSchedules
@@ -64,3 +65,57 @@ def test_make_grid_tiling():
     grid = make_grid(imgs, nrow=3, pad=1)
     # 2 rows x 3 cols of 4px tiles with 1px padding
     assert grid.shape == (2 * 5 + 1, 3 * 5 + 1, 3)
+
+
+class TestProfileReport:
+    """fmri_tpu.utils.profile_report: xplane parsing without TensorBoard."""
+
+    def _write_trace(self, tmp_path):
+        import os
+        os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+        xs = xplane_pb2.XSpace()
+        p = xs.planes.add(name="/device:TPU:0")
+        p.event_metadata[1].id = 1
+        p.event_metadata[1].name = "%fusion.1 = f32[8,8] fusion(...)"
+        p.event_metadata[2].id = 2
+        p.event_metadata[2].name = "%convert_reduce_fusion.3 = (f32[4]) fusion(...)"
+        p.event_metadata[3].id = 3
+        p.event_metadata[3].name = "jit_train_step(123)"
+        mods = p.lines.add(name="XLA Modules")
+        ops = p.lines.add(name="XLA Ops")
+        for step in range(2):  # 2 steps
+            ev = mods.events.add(metadata_id=3)
+            ev.duration_ps = int(5e6)
+            e1 = ops.events.add(metadata_id=1)
+            e1.duration_ps = int(3e6)  # 3 us
+            e2 = ops.events.add(metadata_id=2)
+            e2.duration_ps = int(1e6)  # 1 us
+        d = tmp_path / "trace" / "plugins" / "profile" / "run1"
+        d.mkdir(parents=True)
+        path = d / "host.xplane.pb"
+        path.write_bytes(xs.SerializeToString())
+        return str(tmp_path / "trace"), str(path)
+
+    def test_summarize_and_cli(self, tmp_path, capsys):
+        from fmri_tpu.utils.profile_report import (
+            find_xplane, format_report, main, summarize,
+        )
+
+        trace_dir, pb_path = self._write_trace(tmp_path)
+        assert find_xplane(trace_dir) == pb_path
+
+        s = summarize(pb_path)
+        plane = s["/device:TPU:0"]
+        assert plane["steps"] == 2
+        assert plane["total_us"] == pytest.approx(8.0)  # (3+1)us x 2 steps
+        assert plane["by_kind"]["fusion"] == pytest.approx(6.0)
+        assert plane["by_kind"]["convert_reduce_fusion"] == pytest.approx(2.0)
+
+        report = format_report(s)
+        assert "2 steps" in report and "fusion" in report
+
+        assert main([trace_dir, "--top", "5"]) == 0
+        out = capsys.readouterr().out
+        assert "/device:TPU:0" in out and "75.0%" in out
