@@ -142,9 +142,10 @@ def _open_packed_split(args, cfg, keys):
     from fmri_tpu.data import is_packed_dir, open_packed
 
     train, _ = open_packed(args.input)
-    if isinstance(train, dict) and set(keys) - set(train):
+    have = set(train) if isinstance(train, dict) else {"image"}
+    if set(keys) - have:
         raise SystemExit(
-            f"packed dir {args.input} lacks arrays {sorted(set(keys) - set(train))}")
+            f"packed dir {args.input} lacks arrays {sorted(set(keys) - have)}")
     if args.valid_input:
         if not is_packed_dir(args.valid_input):
             raise SystemExit("--valid-input must also be a packed dir when "
