@@ -235,3 +235,29 @@ def test_profile_flag_writes_trace(tmp_path, images):
     assert os.path.isdir(prof)
     found = [f for root, _, files in os.walk(prof) for f in files]
     assert found  # trace artifacts were written
+
+
+def test_async_ckpt_and_retention(tmp_path, images):
+    """Trainer integration: background checkpoint writes + keep-last pruning,
+    and the retained checkpoint resumes (the on-chip soak's configuration)."""
+    from fmri_tpu.checkpoints import list_checkpoints
+
+    cfg = TINY
+    spe = N // cfg.train.batch_size
+    d = create_run_dir(str(tmp_path), "vgan_s1_async", timestamp="t")
+    state, steps, kwargs = BUILDERS["vgan_stage1"](
+        cfg, steps_per_epoch=spe, donate=False)
+    trainer = Trainer(cfg, steps, d, tensorboard=False, async_ckpt=True,
+                      ckpt_retention=dict(keep_last=1), **kwargs)
+    state = trainer.fit(state, images, images, n_epochs=6, grid_every=0)
+
+    ckpt_dir = os.path.join(d, "checkpoints")
+    # epochs 0 and 5 were saved (ckpt_every=5, final=5); keep_last=1 pruned 0
+    assert sorted(list_checkpoints(ckpt_dir)) == [5]
+
+    # resume from the retained checkpoint
+    state_r, steps_r, kwargs_r = BUILDERS["vgan_stage1"](
+        cfg, steps_per_epoch=spe, donate=False)
+    tr = Trainer(cfg, steps_r, d, tensorboard=False, **kwargs_r)
+    state_r, start = tr.resume(state_r)
+    assert start == 6 and int(state_r.step) == int(state.step)
