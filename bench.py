@@ -57,7 +57,11 @@ def main() -> None:
     # Pre-build the per-step PRNG keys so no host work lands inside the
     # timed loop (a mid-loop jax.random.key() serializes dispatch).
     keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
-    jax.block_until_ready(keys)
+    # host pull of every key, not block_until_ready — the latter returns
+    # early on the tunneled platform (see the NOTE below)
+    import numpy as _np
+    for k in keys:
+        _np.asarray(jax.random.key_data(k))
 
     for i in range(WARMUP):
         state, metrics = step.train_step(state, x, keys[i], margin, eq, lam)

@@ -9,7 +9,7 @@ from fmri_tpu.data.etl import (  # noqa: F401
     split_dataset, train_test_stimuli_split, zscore,
 )
 from fmri_tpu.data.packed import (  # noqa: F401
-    is_packed_dir, open_packed, save_packed,
+    is_packed_dir, open_packed, pack_images_streaming, save_packed,
 )
 from fmri_tpu.data.pipeline import Batches, device_iterator  # noqa: F401
 from fmri_tpu.data.transforms import (  # noqa: F401

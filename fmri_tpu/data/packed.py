@@ -29,6 +29,33 @@ Arrays = Union[np.ndarray, Dict[str, np.ndarray]]
 _META = "meta.json"
 
 
+def _quantize_u8(v: np.ndarray) -> np.ndarray:
+    """[0,1]-float -> uint8, clipped (out-of-range floats must not wrap)."""
+    return (np.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def pack_images_streaming(get_image, n: int, shape, out_dir: str,
+                          key: str = "image", chunk: int = 256) -> None:
+    """Out-of-core packing: write ``<out_dir>/<key>.npy`` (uint8) one image at
+    a time via a numpy memmap, so datasets larger than host RAM can be packed
+    without ever materializing the float array.  ``get_image(i)`` returns one
+    float [0,1] image of ``shape``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    out = np.lib.format.open_memmap(
+        os.path.join(out_dir, f"{key}.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, *shape))
+    for i in range(n):
+        out[i] = _quantize_u8(np.asarray(get_image(i), np.float32))
+        if chunk and (i + 1) % chunk == 0:
+            out.flush()
+    out.flush()
+    del out
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump({"keys": [key], "quantized": [key], "num_examples": n}, f,
+                  indent=2)
+
+
 def save_packed(out_dir: str, arrays: Arrays, *,
                 quantize: Sequence[str] = ("image", "images")) -> None:
     """Write arrays (or one array, stored under key 'image') as raw ``.npy``
@@ -45,7 +72,7 @@ def save_packed(out_dir: str, arrays: Arrays, *,
             raise ValueError(f"array '{k}' length {len(v)} != {n}")
         if k in quantize:
             if v.dtype != np.uint8:
-                v = (v * 255.0 + 0.5).astype(np.uint8)
+                v = _quantize_u8(v)
             quantized.append(k)  # already-uint8 inputs use the same codec
         np.save(os.path.join(out_dir, f"{k}.npy"), v)
     with open(os.path.join(out_dir, _META), "w") as f:

@@ -129,11 +129,15 @@ def main(argv=None) -> int:
             ds = BoldRoiDataset.from_pickle(args.input, crop=args.crop,
                                             size=args.size)
             arrays = ds.as_arrays()
-        else:  # image directory
+        else:  # image directory: pack out-of-core, one image at a time
             from fmri_tpu.data.datasets import CocoImages
+            from fmri_tpu.data.packed import pack_images_streaming
 
-            arrays = {"image": CocoImages(args.input, crop=args.crop,
-                                          size=args.size).as_array()}
+            ds = CocoImages(args.input, crop=args.crop, size=args.size)
+            pack_images_streaming(ds.get, len(ds),
+                                  (args.size, args.size, 3), args.output)
+            print(json.dumps({"image": [len(ds), args.size, args.size, 3]}))
+            return 0
         save_packed(args.output, arrays)
         print(json.dumps({k: list(np.shape(v)) for k, v in arrays.items()}))
     return 0

@@ -154,6 +154,12 @@ def _open_packed_split(args, cfg, keys):
         return train, valid
     n = len(next(iter(train.values()))) if isinstance(train, dict) else len(train)
     k = max(n // 10, cfg.train.batch_size)
+    if n - k < cfg.train.batch_size:
+        raise SystemExit(
+            f"packed dir {args.input} has {n} examples; after holding out "
+            f"{k} for validation the train split is smaller than one batch "
+            f"({cfg.train.batch_size}) — provide more data, a --valid-input "
+            f"dir, or a smaller --batch-size")
     if isinstance(train, dict):
         return ({key: v[k:] for key, v in train.items()},
                 {key: v[:k] for key, v in train.items()})
@@ -166,7 +172,10 @@ def _load_images(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
 
     c = cfg.data
     if args.input and is_packed_dir(args.input):
-        return _open_packed_split(args, cfg, ("image",))
+        train, valid = _open_packed_split(args, cfg, ("image",))
+        if isinstance(train, dict):  # a pairs dir also serves stage 1
+            train, valid = train["image"], valid["image"]
+        return train, valid
     if args.dataset == "synthetic":
         from fmri_tpu.data.synthetic import synthetic_images
 

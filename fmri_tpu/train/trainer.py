@@ -296,6 +296,8 @@ class Trainer:
 
         state = self._place(state)
         final_epoch = start_epoch
+        last_row: Optional[Dict[str, float]] = None
+        saved_epoch: Optional[int] = None
         try:
             for epoch in range(start_epoch, n_epochs):
                 final_epoch = epoch
@@ -377,8 +379,10 @@ class Trainer:
                     "epoch %d | %s", epoch,
                     " ".join(f"{k}={v:.5f}" for k, v in row.items() if k != "epoch"))
 
+                last_row = row
                 if t.ckpt_every and epoch % t.ckpt_every == 0 and not self.debug:
                     self._save_ckpt(epoch, state, seed, row)
+                    saved_epoch = epoch
 
                 if epoch_callback is not None:
                     epoch_callback(epoch, state, row)
@@ -400,9 +404,22 @@ class Trainer:
         finally:
             save_loss_plots(self.results, self.run_dir)
             self.tb.close()
+            # Drain any in-flight background checkpoint write even on the
+            # exception path — a daemon thread killed mid-write would leave a
+            # truncated latest checkpoint.  Errors are logged here (not
+            # raised: they must not mask an in-flight training exception);
+            # the success path re-raises via the wait() below.
+            if self._ckpt_writer is not None:
+                try:
+                    self._ckpt_writer.wait()
+                except Exception:
+                    self.logger.exception("background checkpoint write failed")
 
-        if not self.debug:
-            self._save_ckpt(final_epoch, state, seed)
+        # Final checkpoint, carrying the last epoch's metrics so retention's
+        # keep-best sees them; skip when the in-loop cadence already saved
+        # this exact epoch (avoids a duplicate write that would clobber meta).
+        if not self.debug and saved_epoch != final_epoch:
+            self._save_ckpt(final_epoch, state, seed, last_row)
         if self._ckpt_writer is not None:
             self._ckpt_writer.wait()
         return state

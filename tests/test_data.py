@@ -552,3 +552,28 @@ class TestPackedStreaming:
                                           transform=tf)))
         ref = np.concatenate(list(Batches(imgs, 3, shuffle=True, seed=7)))
         np.testing.assert_allclose(got, ref, atol=1 / 255.0)
+
+    def test_quantize_clips_out_of_range(self, tmp_path):
+        """Floats outside [0,1] must clip, not wrap modulo 256."""
+        from fmri_tpu.data import open_packed, save_packed
+
+        bad = np.array([[[[-0.5, 0.5, 1.2]]]], np.float32)  # [1,1,1,3]
+        d = str(tmp_path / "clip")
+        save_packed(d, {"image": bad})
+        arr, tf = open_packed(d)
+        got = tf(np.asarray(arr))
+        np.testing.assert_allclose(got[0, 0, 0], [0.0, 0.5, 1.0], atol=1 / 255.0)
+
+    def test_pack_images_streaming_matches_save_packed(self, tmp_path):
+        """The out-of-core packer produces the same on-disk format/codec."""
+        from fmri_tpu.data import open_packed, pack_images_streaming, save_packed
+
+        rng = np.random.default_rng(3)
+        imgs = rng.uniform(0, 1, (7, 4, 4, 3)).astype(np.float32)
+        d1, d2 = str(tmp_path / "stream"), str(tmp_path / "bulk")
+        pack_images_streaming(lambda i: imgs[i], len(imgs), (4, 4, 3), d1)
+        save_packed(d2, imgs)
+        a1, t1 = open_packed(d1)
+        a2, t2 = open_packed(d2)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_allclose(t1(np.asarray(a1)), imgs, atol=1 / 255.0)

@@ -261,3 +261,25 @@ def test_async_ckpt_and_retention(tmp_path, images):
     tr = Trainer(cfg, steps_r, d, tensorboard=False, **kwargs_r)
     state_r, start = tr.resume(state_r)
     assert start == 6 and int(state_r.step) == int(state.step)
+
+
+def test_final_checkpoint_carries_metrics(tmp_path, images):
+    """An off-cadence final epoch is saved once with the last row's metrics
+    (keep-best needs them), and an on-cadence final epoch is not re-saved
+    with a metrics-free meta (the clobbering found in review)."""
+    from fmri_tpu.checkpoints import checkpoint_meta, list_checkpoints
+
+    cfg = TINY
+    spe = N // cfg.train.batch_size
+    d = create_run_dir(str(tmp_path), "vgan_s1_meta", timestamp="t")
+    state, steps, kwargs = BUILDERS["vgan_stage1"](
+        cfg, steps_per_epoch=spe, donate=False)
+    trainer = Trainer(cfg, steps, d, tensorboard=False, **kwargs)
+    trainer.fit(state, images, images, n_epochs=2, grid_every=0)  # final=1, off-cadence
+
+    ckpt_dir = os.path.join(d, "checkpoints")
+    cps = list_checkpoints(ckpt_dir)
+    assert sorted(cps) == [0, 1]
+    for e in (0, 1):  # both the cadence save and the final save carry metrics
+        meta = checkpoint_meta(cps[e])
+        assert "valid_PCC" in meta.get("metrics", {}), (e, meta)
