@@ -197,3 +197,21 @@ def test_multihost_two_processes():
     vals = [line.split()[1] for out in outs for line in out.splitlines()
             if line.startswith("MULTIHOST_OK")]
     assert len(vals) == 2 and vals[0] == vals[1]
+
+
+def test_spmd_step_emits_gradient_allreduce():
+    """Compile-level evidence for the DP design: lowering the fused train
+    step over a (data=8) mesh must produce cross-replica all-reduces (XLA
+    inserts them from the shardings — SURVEY.md §2.8 'comm backend')."""
+    mesh = make_mesh(data=8)
+    state = _vgan_state()
+    step = make_vgan_stage1_step(CFG, "vae-gan", donate=False)
+
+    x = np.zeros((B, CFG.model.image_size, CFG.model.image_size, 3), np.float32)
+    sharded_x = shard_batch(x, mesh)
+    sharded_state = shard_state(state, mesh)
+    lowered = jax.jit(step.train_step.__wrapped__).lower(
+        sharded_state, sharded_x, jax.random.key(0), jnp.float32(0.35),
+        jnp.float32(0.68), jnp.float32(1e-6))
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no cross-replica reduction in the SPMD step"
