@@ -3,3 +3,6 @@ from fmri_tpu.checkpoints.store import (  # noqa: F401
     list_checkpoints, load_groups, prune_checkpoints, restore_checkpoint,
     save_checkpoint,
 )
+from fmri_tpu.checkpoints.torch_import import (  # noqa: F401
+    convert_state_dict, load_reference_checkpoint,
+)
