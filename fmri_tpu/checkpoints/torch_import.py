@@ -210,7 +210,175 @@ _KIND_CONVERTERS = {
         "decoder": (convert_decoder, "decoder."),
         "latent_disc": (convert_latent_discriminator, "discriminator."),
     },
+    "dcgan": {  # DCGan (vae_gan.py:581-622): decoder + discriminator only
+        "decoder": (convert_decoder, "decoder."),
+        "discriminator": (convert_image_discriminator, "discriminator."),
+    },
 }
+
+
+# ---------------------------------------------------------------------------
+# Export: this framework's groups -> reference-layout state_dict (the inverse
+# of every conversion above), so weights trained here flow back to torch.
+# ---------------------------------------------------------------------------
+
+
+def _inv_lin(k) -> Array:
+    return np.asarray(k, np.float32).T
+
+
+def _inv_conv(k) -> Array:
+    return np.asarray(k, np.float32).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+
+
+def _inv_deconv(k) -> Array:
+    k = np.asarray(k, np.float32)
+    return np.flip(k, (0, 1)).transpose(2, 3, 0, 1).copy()  # -> [I, O, kh, kw]
+
+
+def _inv_fc_in(k, c: int, h: int, wd: int) -> Array:
+    k = np.asarray(k, np.float32).T  # [out, HWC]
+    out = k.shape[0]
+    return k.reshape(out, h, wd, c).transpose(0, 3, 1, 2).reshape(out, -1)
+
+
+def _inv_fc_out(k, c: int, h: int, wd: int) -> Array:
+    k = np.asarray(k, np.float32).T  # [HWC, z]
+    zin = k.shape[1]
+    return k.reshape(h, wd, c, zin).transpose(2, 0, 1, 3).reshape(-1, zin)
+
+
+def _inv_vec(v, c: int, h: int, wd: int) -> Array:
+    return np.asarray(v, np.float32).reshape(h, wd, c).transpose(2, 0, 1).reshape(-1)
+
+
+def _export_bn(out: Dict, prefix: str, params: Mapping, stats: Mapping,
+               perm=None) -> None:
+    f = perm or (lambda v: np.asarray(v, np.float32))
+    out[f"{prefix}.weight"] = f(params["scale"])
+    out[f"{prefix}.bias"] = f(params["bias"])
+    out[f"{prefix}.running_mean"] = f(stats["mean"])
+    out[f"{prefix}.running_var"] = f(stats["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_visual_encoder(group: Mapping, cfg: Config, prefix: str = "") -> Dict:
+    c = cfg.model
+    p, s = group["params"], group["batch_stats"]
+    out: Dict[str, Array] = {}
+    for i in range(len(c.encoder_channels)):
+        blk = p[f"EncoderBlock_{i}"]
+        out[f"{prefix}conv.{i}.conv.weight"] = _inv_conv(blk["kernel"])
+        _export_bn(out, f"{prefix}conv.{i}.bn", blk["BatchNorm_0"],
+                   s[f"EncoderBlock_{i}"]["BatchNorm_0"])
+    ch = c.encoder_channels[-1]
+    out[f"{prefix}fc.0.weight"] = _inv_fc_in(p["Dense_0"]["kernel"], ch,
+                                             c.fc_input, c.fc_input)
+    _export_bn(out, f"{prefix}fc.1", p["BatchNorm_0"], s["BatchNorm_0"])
+    out[f"{prefix}l_mu.weight"] = _inv_lin(p["Dense_1"]["kernel"])
+    out[f"{prefix}l_mu.bias"] = np.asarray(p["Dense_1"]["bias"], np.float32)
+    out[f"{prefix}l_var.weight"] = _inv_lin(p["Dense_2"]["kernel"])
+    out[f"{prefix}l_var.bias"] = np.asarray(p["Dense_2"]["bias"], np.float32)
+    return out
+
+
+def export_decoder(group: Mapping, cfg: Config, prefix: str = "") -> Dict:
+    c = cfg.model
+    size0 = c.encoder_channels[-1]
+    p, s = group["params"], group["batch_stats"]
+    out: Dict[str, Array] = {
+        f"{prefix}fc.0.weight": _inv_fc_out(p["Dense_0"]["kernel"], size0,
+                                            c.fc_input, c.fc_input)}
+    perm = lambda v: _inv_vec(v, size0, c.fc_input, c.fc_input)
+    _export_bn(out, f"{prefix}fc.1", p["BatchNorm_0"], s["BatchNorm_0"], perm)
+    for i in range(3):
+        blk = p[f"DecoderBlock_{i}"]
+        out[f"{prefix}conv.{i}.conv.weight"] = _inv_deconv(blk["kernel"])
+        _export_bn(out, f"{prefix}conv.{i}.bn", blk["BatchNorm_0"],
+                   s[f"DecoderBlock_{i}"]["BatchNorm_0"])
+    out[f"{prefix}conv.3.0.weight"] = _inv_conv(p["out_kernel"])
+    out[f"{prefix}conv.3.0.bias"] = np.asarray(p["out_bias"], np.float32)
+    return out
+
+
+def export_image_discriminator(group: Mapping, cfg: Config, prefix: str = "") -> Dict:
+    c = cfg.model
+    p, s = group["params"], group["batch_stats"]
+    out: Dict[str, Array] = {
+        f"{prefix}conv.0.0.weight": _inv_conv(p["in_kernel"]),
+        f"{prefix}conv.0.0.bias": np.asarray(p["in_bias"], np.float32)}
+    for i in range(1, len(c.discrim_channels)):
+        blk = p[f"EncoderBlock_{i - 1}"]
+        out[f"{prefix}conv.{i}.conv.weight"] = _inv_conv(blk["kernel"])
+        _export_bn(out, f"{prefix}conv.{i}.bn", blk["BatchNorm_0"],
+                   s[f"EncoderBlock_{i - 1}"]["BatchNorm_0"])
+    ch = c.discrim_channels[-1]
+    out[f"{prefix}fc.0.weight"] = _inv_fc_in(p["Dense_0"]["kernel"], ch,
+                                             c.fc_input_gan, c.fc_input_gan)
+    _export_bn(out, f"{prefix}fc.1", p["BatchNorm_0"], s["BatchNorm_0"])
+    out[f"{prefix}fc.3.weight"] = _inv_lin(p["Dense_1"]["kernel"])
+    out[f"{prefix}fc.3.bias"] = np.asarray(p["Dense_1"]["bias"], np.float32)
+    return out
+
+
+def export_cognitive_encoder(group: Mapping, cfg: Config, prefix: str = "") -> Dict:
+    p, s = group["params"], group["batch_stats"]
+    out: Dict[str, Array] = {
+        f"{prefix}fc1.0.weight": _inv_lin(p["fc1"]["kernel"])}
+    _export_bn(out, f"{prefix}fc1.1", p["BatchNorm_0"], s["BatchNorm_0"])
+    out[f"{prefix}l_mu.weight"] = _inv_lin(p["Dense_0"]["kernel"])
+    out[f"{prefix}l_mu.bias"] = np.asarray(p["Dense_0"]["bias"], np.float32)
+    out[f"{prefix}l_var.weight"] = _inv_lin(p["Dense_1"]["kernel"])
+    out[f"{prefix}l_var.bias"] = np.asarray(p["Dense_1"]["bias"], np.float32)
+    return out
+
+
+def export_latent_discriminator(group: Mapping, prefix: str = "") -> Dict:
+    p = group["params"]
+    out: Dict[str, Array] = {}
+    for j, tidx in enumerate((0, 2, 4, 6, 8)):
+        out[f"{prefix}main.{tidx}.weight"] = _inv_lin(p[f"Dense_{j}"]["kernel"])
+        out[f"{prefix}main.{tidx}.bias"] = np.asarray(p[f"Dense_{j}"]["bias"],
+                                                      np.float32)
+    return out
+
+
+_KIND_EXPORTERS = {
+    "vae-gan": {"encoder": (export_visual_encoder, "encoder."),
+                "decoder": (export_decoder, "decoder."),
+                "discriminator": (export_image_discriminator, "discriminator.")},
+    "vae-gan-cognitive": {
+        "encoder": (export_cognitive_encoder, "encoder."),
+        "decoder": (export_decoder, "decoder."),
+        "discriminator": (export_image_discriminator, "discriminator.")},
+    "wae-gan": {"encoder": (export_visual_encoder, "encoder."),
+                "decoder": (export_decoder, "decoder."),
+                "latent_disc": (export_latent_discriminator, "discriminator.")},
+    "wae-gan-cognitive": {
+        "encoder": (export_cognitive_encoder, "encoder."),
+        "decoder": (export_decoder, "decoder."),
+        "latent_disc": (export_latent_discriminator, "discriminator.")},
+    "dcgan": {"decoder": (export_decoder, "decoder."),
+              "discriminator": (export_image_discriminator, "discriminator.")},
+}
+
+
+def export_state_dict(groups: Mapping[str, Mapping], cfg: Config,
+                      kind: str = "vae-gan") -> Dict[str, Array]:
+    """Inverse of :func:`convert_state_dict`: named groups -> a state_dict in
+    the reference's layout/naming (numpy values; pass through
+    ``torch.save({k: torch.from_numpy(v) ...})`` for a ``.pth``)."""
+    try:
+        spec = _KIND_EXPORTERS[kind]
+    except KeyError:
+        raise KeyError(f"unknown kind {kind!r}; one of {sorted(_KIND_EXPORTERS)}")
+    out: Dict[str, Array] = {}
+    for group, (fn, prefix) in spec.items():
+        if fn is export_latent_discriminator:
+            out.update(fn(groups[group], prefix=prefix))
+        else:
+            out.update(fn(groups[group], cfg, prefix=prefix))
+    return out
 
 
 def convert_state_dict(sd: Mapping, cfg: Config, kind: str = "vae-gan") -> Groups:
@@ -248,13 +416,18 @@ def main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser(description=main.__doc__)
-    ap.add_argument("--input", "-i", required=True, help="reference .pth path")
-    ap.add_argument("--output", "-o", required=True, help="checkpoint dir")
+    ap.add_argument("--input", "-i", required=True,
+                    help="reference .pth path (or, with --export, a framework "
+                         "checkpoint dir)")
+    ap.add_argument("--output", "-o", required=True,
+                    help="checkpoint dir (or, with --export, a .pth path)")
     ap.add_argument("--kind", default="vae-gan", choices=sorted(_KIND_CONVERTERS))
     ap.add_argument("--preset", default="res64")
-    ap.add_argument("--epoch", type=int, default=0,
-                    help="epoch number to record (reference filenames carry "
-                         "it as <name>_<epoch>.pth)")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="epoch number to record/select (reference filenames "
+                         "carry it as <name>_<epoch>.pth)")
+    ap.add_argument("--export", action="store_true",
+                    help="reverse direction: framework checkpoint -> .pth")
     args = ap.parse_args(argv)
 
     from fmri_tpu.train.run import _apply_platform_override
@@ -262,13 +435,29 @@ def main(argv=None) -> int:
     _apply_platform_override()
 
     from fmri_tpu.configs import get_config
+
+    cfg = get_config(args.preset)
+    if args.export:
+        import torch
+
+        from fmri_tpu.checkpoints.store import load_eval_state
+
+        state, _ = load_eval_state(args.input, epoch=args.epoch)
+        groups = {name: {"params": state.params[name],
+                         "batch_stats": state.batch_stats.get(name, {})}
+                  for name in state.params}
+        sd = export_state_dict(groups, cfg, kind=args.kind)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, args.output)
+        print(args.output)
+        return 0
+
     from fmri_tpu.checkpoints.store import save_checkpoint
     from fmri_tpu.train.state import make_state
 
-    cfg = get_config(args.preset)
     groups = load_reference_checkpoint(args.input, cfg, kind=args.kind)
     state = make_state(groups, {})  # no optimizer state in reference ckpts
-    path = save_checkpoint(args.output, args.epoch, state,
+    path = save_checkpoint(args.output, args.epoch or 0, state,
                            meta={"imported_from": args.input,
                                  "kind": args.kind, "preset": args.preset})
     print(path)

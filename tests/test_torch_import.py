@@ -290,3 +290,51 @@ def test_import_cli_then_inference(tmp_path):
         capture_output=True, text=True, env=env, timeout=900)
     assert r.returncode == 0, (r.stderr[-3000:] or r.stdout[-3000:])
     assert os.path.exists(os.path.join(out, "summary.json"))
+
+
+def test_export_roundtrip_strict_load():
+    """Export our groups to a reference-layout state_dict; torch oracles
+    load it with strict=True (exact key check) and reproduce our forwards;
+    convert(export(x)) round-trips bit-exactly."""
+    from fmri_tpu.checkpoints.torch_import import export_state_dict
+
+    te, td, tdisc = TEncoder(), TDecoder(), TDiscriminator()
+    for m in (te, td, tdisc):
+        _randomize_bn_stats(m)
+    sd0 = {**_prefixed(te, "encoder."), **_prefixed(td, "decoder."),
+           **_prefixed(tdisc, "discriminator.")}
+    groups = convert_state_dict(sd0, TINY, kind="vae-gan")
+
+    sd1 = export_state_dict(groups, TINY, kind="vae-gan")
+    # strict load into fresh oracles: key names and shapes must match exactly
+    te2, td2, tdisc2 = TEncoder().eval(), TDecoder().eval(), TDiscriminator().eval()
+    te2.load_state_dict({k[len("encoder."):]: torch.from_numpy(
+        np.ascontiguousarray(v)) for k, v in sd1.items()
+        if k.startswith("encoder.")}, strict=True)
+    td2.load_state_dict({k[len("decoder."):]: torch.from_numpy(
+        np.ascontiguousarray(v)) for k, v in sd1.items()
+        if k.startswith("decoder.")}, strict=True)
+    tdisc2.load_state_dict({k[len("discriminator."):]: torch.from_numpy(
+        np.ascontiguousarray(v)) for k, v in sd1.items()
+        if k.startswith("discriminator.")}, strict=True)
+
+    x = _images(4)
+    with torch.no_grad():
+        mu_a, _ = te.eval()(_nchw(x))
+        mu_b, _ = te2(_nchw(x))
+    np.testing.assert_allclose(mu_b.numpy(), mu_a.numpy(), atol=1e-6)
+
+    # bit-exact numeric round trip through convert(export(.))
+    groups2 = convert_state_dict(sd1, TINY, kind="vae-gan")
+    a = jax.tree_util.tree_leaves(groups)
+    b = jax.tree_util.tree_leaves(groups2)
+    assert len(a) == len(b)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_dcgan_kind():
+    sd = {**_prefixed(TDecoder(), "decoder."),
+          **_prefixed(TDiscriminator(), "discriminator.")}
+    groups = convert_state_dict(sd, TINY, kind="dcgan")
+    assert set(groups) == {"decoder", "discriminator"}
