@@ -395,6 +395,13 @@ def convert_state_dict(sd: Mapping, cfg: Config, kind: str = "vae-gan") -> Group
             out[group] = fn(sd, prefix=prefix)
         else:
             out[group] = fn(sd, cfg, prefix=prefix)
+    # VaeGanCognitive registers the Stage-I teacher as a submodule
+    # (vae_gan.py:343), so stage-2 state_dicts carry teacher_net.* keys; its
+    # visual encoder becomes this framework's `teacher_encoder` group.
+    if (kind == "vae-gan-cognitive"
+            and any(k.startswith("teacher_net.encoder.") for k in sd)):
+        out["teacher_encoder"] = convert_visual_encoder(
+            sd, cfg, prefix="teacher_net.encoder.")
     return out
 
 

@@ -338,3 +338,28 @@ def test_dcgan_kind():
           **_prefixed(TDiscriminator(), "discriminator.")}
     groups = convert_state_dict(sd, TINY, kind="dcgan")
     assert set(groups) == {"decoder", "discriminator"}
+
+
+def test_cognitive_with_teacher_net():
+    """Stage-2 VaeGanCognitive state_dicts carry the whole Stage-I teacher
+    under teacher_net.* (vae_gan.py:343); its encoder maps to our
+    teacher_encoder group."""
+    tc, td, tdisc, tt = TCognitive(), TDecoder(), TDiscriminator(), TEncoder()
+    _randomize_bn_stats(tt)
+    sd = {**_prefixed(tc, "encoder."), **_prefixed(td, "decoder."),
+          **_prefixed(tdisc, "discriminator."),
+          **_prefixed(tt, "teacher_net.encoder."),
+          **_prefixed(TDecoder(), "teacher_net.decoder."),
+          **_prefixed(TDiscriminator(), "teacher_net.discriminator.")}
+    groups = convert_state_dict(sd, TINY, kind="vae-gan-cognitive")
+    assert set(groups) == {"encoder", "decoder", "discriminator",
+                           "teacher_encoder"}
+
+    x = _images(4)
+    with torch.no_grad():
+        mu_t, _ = tt.eval()(_nchw(x))
+    gt = groups["teacher_encoder"]
+    mu_j, _ = VisualEncoder(C).apply(
+        {"params": gt["params"], "batch_stats": gt["batch_stats"]},
+        x, train=False)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-4)
