@@ -46,10 +46,21 @@ class ProxyClassifier(nn.Module):
 
 @lru_cache(maxsize=1)
 def _proxy():
-    model = ProxyClassifier()
-    variables = model.init(jax.random.key(1234), jnp.zeros((1, 75, 75, 3)))
+    # The proxy runs on the host CPU backend: it is a tiny host-side metric,
+    # and on the tunneled TPU platform the first compile of a fresh program
+    # costs minutes of warmup (measured: ~100-190s for this 6-op net) — far
+    # more than the classification itself is worth.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = ProxyClassifier()
+        variables = model.init(jax.random.key(1234), jnp.zeros((1, 75, 75, 3)))
     fn = jax.jit(lambda imgs: model.apply(variables, imgs))
-    return fn
+
+    def run(imgs):
+        with jax.default_device(cpu):
+            return fn(jax.device_put(imgs, cpu))
+
+    return run
 
 
 def classify(images: jax.Array) -> np.ndarray:
@@ -59,11 +70,12 @@ def classify(images: jax.Array) -> np.ndarray:
         from fmri_tpu.metrics.inception_v3 import classify_with_weights
 
         return classify_with_weights(npz, images)
-    # Proxy path: resize to a fixed 75x75 (the reference upsamples to 299
-    # for Inception; the proxy net is resolution-agnostic, a fixed size keeps
-    # compilation static).
-    imgs = jax.image.resize(images, (images.shape[0], 75, 75, 3), "bilinear")
-    return np.asarray(_proxy()(imgs))
+    # Proxy path: feed images at their native resolution.  (The reference
+    # upsamples to 299 for Inception-v3; the proxy net is resolution-agnostic.
+    # Everything here stays on the host CPU backend: on the tunneled TPU
+    # platform each *eager* op's first execution pays a ~10s mini-compile
+    # round trip, which made this metric cost minutes for no benefit.)
+    return np.asarray(_proxy()(np.asarray(images)))
 
 
 def inception_score(images: jax.Array, splits: int = 1):
@@ -72,7 +84,8 @@ def inception_score(images: jax.Array, splits: int = 1):
     ``(mean, std, is_proxy)`` — mean/std over splits like the reference
     (``train_utils.py:879-881``)."""
     probs = classify(images)
-    mean, std = inception_score_from_probs(probs, splits=splits)
+    with jax.default_device(jax.devices("cpu")[0]):
+        mean, std = inception_score_from_probs(probs, splits=splits)
     return mean, std, is_proxy()
 
 
