@@ -178,43 +178,17 @@ def convert_cognitive_encoder(sd: Mapping, cfg: Config, prefix: str = "") -> Dic
     return {"params": params, "batch_stats": stats}
 
 
-def convert_latent_discriminator(sd: Mapping, prefix: str = "") -> Dict:
-    """Reference ``WaeDiscriminator`` (``vae_gan.py:499-529``) -> group."""
+def convert_latent_discriminator(sd: Mapping, cfg: Config = None,
+                                 prefix: str = "") -> Dict:
+    """Reference ``WaeDiscriminator`` (``vae_gan.py:499-529``) -> group.
+    (``cfg`` unused; kept for the uniform converter signature.)"""
+    del cfg
     params: Dict[str, Any] = {}
     for j, tidx in enumerate((0, 2, 4, 6, 8)):  # Linear indices in `main`
         params[f"Dense_{j}"] = {
             "kernel": _lin(sd[f"{prefix}main.{tidx}.weight"]),
             "bias": _np(sd[f"{prefix}main.{tidx}.bias"])}
     return {"params": params, "batch_stats": {}}
-
-
-_KIND_CONVERTERS = {
-    # reference composite -> {our group name: (converter, state_dict prefix)}
-    "vae-gan": {  # VaeGan (vae_gan.py:235-320)
-        "encoder": (convert_visual_encoder, "encoder."),
-        "decoder": (convert_decoder, "decoder."),
-        "discriminator": (convert_image_discriminator, "discriminator."),
-    },
-    "vae-gan-cognitive": {  # VaeGanCognitive (vae_gan.py:323-432)
-        "encoder": (convert_cognitive_encoder, "encoder."),
-        "decoder": (convert_decoder, "decoder."),
-        "discriminator": (convert_image_discriminator, "discriminator."),
-    },
-    "wae-gan": {  # WaeGan (vae_gan.py:435-496)
-        "encoder": (convert_visual_encoder, "encoder."),
-        "decoder": (convert_decoder, "decoder."),
-        "latent_disc": (convert_latent_discriminator, "discriminator."),
-    },
-    "wae-gan-cognitive": {  # WaeGanCognitive (vae_gan.py:532-578)
-        "encoder": (convert_cognitive_encoder, "encoder."),
-        "decoder": (convert_decoder, "decoder."),
-        "latent_disc": (convert_latent_discriminator, "discriminator."),
-    },
-    "dcgan": {  # DCGan (vae_gan.py:581-622): decoder + discriminator only
-        "decoder": (convert_decoder, "decoder."),
-        "discriminator": (convert_image_discriminator, "discriminator."),
-    },
-}
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +307,9 @@ def export_cognitive_encoder(group: Mapping, cfg: Config, prefix: str = "") -> D
     return out
 
 
-def export_latent_discriminator(group: Mapping, prefix: str = "") -> Dict:
+def export_latent_discriminator(group: Mapping, cfg: Config = None,
+                                prefix: str = "") -> Dict:
+    del cfg
     p = group["params"]
     out: Dict[str, Array] = {}
     for j, tidx in enumerate((0, 2, 4, 6, 8)):
@@ -343,23 +319,41 @@ def export_latent_discriminator(group: Mapping, prefix: str = "") -> Dict:
     return out
 
 
-_KIND_EXPORTERS = {
-    "vae-gan": {"encoder": (export_visual_encoder, "encoder."),
-                "decoder": (export_decoder, "decoder."),
-                "discriminator": (export_image_discriminator, "discriminator.")},
-    "vae-gan-cognitive": {
-        "encoder": (export_cognitive_encoder, "encoder."),
-        "decoder": (export_decoder, "decoder."),
-        "discriminator": (export_image_discriminator, "discriminator.")},
-    "wae-gan": {"encoder": (export_visual_encoder, "encoder."),
-                "decoder": (export_decoder, "decoder."),
-                "latent_disc": (export_latent_discriminator, "discriminator.")},
-    "wae-gan-cognitive": {
-        "encoder": (export_cognitive_encoder, "encoder."),
-        "decoder": (export_decoder, "decoder."),
-        "latent_disc": (export_latent_discriminator, "discriminator.")},
-    "dcgan": {"decoder": (export_decoder, "decoder."),
-              "discriminator": (export_image_discriminator, "discriminator.")},
+# One table drives both directions: {kind: {group: (import_fn, export_fn,
+# state_dict prefix)}}.  All converters share the (sd|group, cfg, prefix)
+# signature.
+_KINDS = {
+    "vae-gan": {  # VaeGan (vae_gan.py:235-320)
+        "encoder": (convert_visual_encoder, export_visual_encoder, "encoder."),
+        "decoder": (convert_decoder, export_decoder, "decoder."),
+        "discriminator": (convert_image_discriminator,
+                          export_image_discriminator, "discriminator."),
+    },
+    "vae-gan-cognitive": {  # VaeGanCognitive (vae_gan.py:323-432)
+        "encoder": (convert_cognitive_encoder, export_cognitive_encoder,
+                    "encoder."),
+        "decoder": (convert_decoder, export_decoder, "decoder."),
+        "discriminator": (convert_image_discriminator,
+                          export_image_discriminator, "discriminator."),
+    },
+    "wae-gan": {  # WaeGan (vae_gan.py:435-496)
+        "encoder": (convert_visual_encoder, export_visual_encoder, "encoder."),
+        "decoder": (convert_decoder, export_decoder, "decoder."),
+        "latent_disc": (convert_latent_discriminator,
+                        export_latent_discriminator, "discriminator."),
+    },
+    "wae-gan-cognitive": {  # WaeGanCognitive (vae_gan.py:532-578)
+        "encoder": (convert_cognitive_encoder, export_cognitive_encoder,
+                    "encoder."),
+        "decoder": (convert_decoder, export_decoder, "decoder."),
+        "latent_disc": (convert_latent_discriminator,
+                        export_latent_discriminator, "discriminator."),
+    },
+    "dcgan": {  # DCGan (vae_gan.py:581-622): decoder + discriminator only
+        "decoder": (convert_decoder, export_decoder, "decoder."),
+        "discriminator": (convert_image_discriminator,
+                          export_image_discriminator, "discriminator."),
+    },
 }
 
 
@@ -369,15 +363,24 @@ def export_state_dict(groups: Mapping[str, Mapping], cfg: Config,
     the reference's layout/naming (numpy values; pass through
     ``torch.save({k: torch.from_numpy(v) ...})`` for a ``.pth``)."""
     try:
-        spec = _KIND_EXPORTERS[kind]
+        spec = _KINDS[kind]
     except KeyError:
-        raise KeyError(f"unknown kind {kind!r}; one of {sorted(_KIND_EXPORTERS)}")
+        raise KeyError(f"unknown kind {kind!r}; one of {sorted(_KINDS)}")
     out: Dict[str, Array] = {}
-    for group, (fn, prefix) in spec.items():
-        if fn is export_latent_discriminator:
-            out.update(fn(groups[group], prefix=prefix))
-        else:
-            out.update(fn(groups[group], cfg, prefix=prefix))
+    for group, (_, fn, prefix) in spec.items():
+        out.update(fn(groups[group], cfg, prefix=prefix))
+    # Stage-2 VaeGanCognitive registers the whole Stage-I teacher as a
+    # submodule (vae_gan.py:343); the reference shares the decoder and
+    # discriminator objects between student and teacher
+    # (train_vgan_stage2.py:229-232), so a strict-loadable stage-2 state_dict
+    # carries teacher_net.* copies of them plus the teacher's visual encoder.
+    if kind == "vae-gan-cognitive" and "teacher_encoder" in groups:
+        out.update(export_visual_encoder(groups["teacher_encoder"], cfg,
+                                         prefix="teacher_net.encoder."))
+        out.update(export_decoder(groups["decoder"], cfg,
+                                  prefix="teacher_net.decoder."))
+        out.update(export_image_discriminator(
+            groups["discriminator"], cfg, prefix="teacher_net.discriminator."))
     return out
 
 
@@ -386,15 +389,12 @@ def convert_state_dict(sd: Mapping, cfg: Config, kind: str = "vae-gan") -> Group
     ({'params': ..., 'batch_stats': ...} per group), ready for
     ``fmri_tpu.train.make_state`` / ``checkpoints.graft_groups``."""
     try:
-        spec = _KIND_CONVERTERS[kind]
+        spec = _KINDS[kind]
     except KeyError:
-        raise KeyError(f"unknown kind {kind!r}; one of {sorted(_KIND_CONVERTERS)}")
+        raise KeyError(f"unknown kind {kind!r}; one of {sorted(_KINDS)}")
     out: Groups = {}
-    for group, (fn, prefix) in spec.items():
-        if fn is convert_latent_discriminator:
-            out[group] = fn(sd, prefix=prefix)
-        else:
-            out[group] = fn(sd, cfg, prefix=prefix)
+    for group, (fn, _, prefix) in spec.items():
+        out[group] = fn(sd, cfg, prefix=prefix)
     # VaeGanCognitive registers the Stage-I teacher as a submodule
     # (vae_gan.py:343), so stage-2 state_dicts carry teacher_net.* keys; its
     # visual encoder becomes this framework's `teacher_encoder` group.
@@ -407,12 +407,13 @@ def convert_state_dict(sd: Mapping, cfg: Config, kind: str = "vae-gan") -> Group
 
 def load_reference_checkpoint(path: str, cfg: Config,
                               kind: str = "vae-gan") -> Groups:
-    """Load a reference ``.pth`` (torch state_dict) and convert it."""
+    """Load a reference ``.pth`` (a ``torch.save(model.state_dict())`` file —
+    the only save style the reference uses, ``train_vgan_stage1.py:596-598``)
+    and convert it.  Whole-module pickles are not supported: unpickling them
+    would require the reference's own class definitions."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    if hasattr(sd, "state_dict"):  # a whole module was saved
-        sd = sd.state_dict()
     return convert_state_dict(sd, cfg, kind=kind)
 
 
@@ -428,7 +429,7 @@ def main(argv=None) -> int:
                          "checkpoint dir)")
     ap.add_argument("--output", "-o", required=True,
                     help="checkpoint dir (or, with --export, a .pth path)")
-    ap.add_argument("--kind", default="vae-gan", choices=sorted(_KIND_CONVERTERS))
+    ap.add_argument("--kind", default="vae-gan", choices=sorted(_KINDS))
     ap.add_argument("--preset", default="res64")
     ap.add_argument("--epoch", type=int, default=None,
                     help="epoch number to record/select (reference filenames "

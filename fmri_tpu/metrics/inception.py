@@ -45,20 +45,37 @@ class ProxyClassifier(nn.Module):
 
 
 @lru_cache(maxsize=1)
+def _cpu_device():
+    """Host CPU device if the platform config allows one, else None (an
+    explicit ``jax_platforms`` list without 'cpu' disables the backend)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+@lru_cache(maxsize=1)
 def _proxy():
-    # The proxy runs on the host CPU backend: it is a tiny host-side metric,
+    # The proxy prefers the host CPU backend: it is a tiny host-side metric,
     # and on the tunneled TPU platform the first compile of a fresh program
     # costs minutes of warmup (measured: ~100-190s for this 6-op net) — far
-    # more than the classification itself is worth.
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    # more than the classification itself is worth.  When no CPU backend is
+    # available it falls back to the default device (just slower, not wrong).
+    import contextlib
+
+    cpu = _cpu_device()
+    ctx = (lambda: jax.default_device(cpu)) if cpu else contextlib.nullcontext
+
+    with ctx():
         model = ProxyClassifier()
         variables = model.init(jax.random.key(1234), jnp.zeros((1, 75, 75, 3)))
     fn = jax.jit(lambda imgs: model.apply(variables, imgs))
 
     def run(imgs):
-        with jax.default_device(cpu):
-            return fn(jax.device_put(imgs, cpu))
+        with ctx():
+            if cpu is not None:
+                imgs = jax.device_put(imgs, cpu)
+            return fn(imgs)
 
     return run
 
@@ -84,8 +101,7 @@ def inception_score(images: jax.Array, splits: int = 1):
     ``(mean, std, is_proxy)`` — mean/std over splits like the reference
     (``train_utils.py:879-881``)."""
     probs = classify(images)
-    with jax.default_device(jax.devices("cpu")[0]):
-        mean, std = inception_score_from_probs(probs, splits=splits)
+    mean, std = inception_score_from_probs(probs, splits=splits)  # pure numpy
     return mean, std, is_proxy()
 
 

@@ -5,7 +5,6 @@ not copied), in eval mode with imported running stats.
 """
 
 import numpy as np
-import pytest
 import torch
 import torch.nn as tnn
 
@@ -363,3 +362,27 @@ def test_cognitive_with_teacher_net():
         {"params": gt["params"], "batch_stats": gt["batch_stats"]},
         x, train=False)
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-4)
+
+
+def test_stage2_export_import_symmetry():
+    """vae-gan-cognitive export emits the teacher_net.* keys back (shared
+    decoder/discriminator + teacher encoder), so convert(export(x)) keeps all
+    4 groups and the teacher survives the round trip."""
+    from fmri_tpu.checkpoints.torch_import import export_state_dict
+
+    tc, td, tdisc, tt = TCognitive(), TDecoder(), TDiscriminator(), TEncoder()
+    sd = {**_prefixed(tc, "encoder."), **_prefixed(td, "decoder."),
+          **_prefixed(tdisc, "discriminator."),
+          **_prefixed(tt, "teacher_net.encoder."),
+          **_prefixed(td, "teacher_net.decoder."),
+          **_prefixed(tdisc, "teacher_net.discriminator.")}
+    g1 = convert_state_dict(sd, TINY, kind="vae-gan-cognitive")
+    sd2 = export_state_dict(g1, TINY, kind="vae-gan-cognitive")
+    assert any(k.startswith("teacher_net.encoder.") for k in sd2)
+    assert any(k.startswith("teacher_net.decoder.") for k in sd2)
+    g2 = convert_state_dict(sd2, TINY, kind="vae-gan-cognitive")
+    assert set(g2) == {"encoder", "decoder", "discriminator", "teacher_encoder"}
+    a = jax.tree_util.tree_leaves(g1["teacher_encoder"])
+    b = jax.tree_util.tree_leaves(g2["teacher_encoder"])
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
