@@ -413,7 +413,10 @@ def load_reference_checkpoint(path: str, cfg: Config,
     would require the reference's own class definitions."""
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    # weights_only=True: enforces the plain-state_dict contract (clean error
+    # on whole-module pickles) and never unpickles arbitrary objects from an
+    # untrusted .pth (the default before torch 2.6 would).
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_state_dict(sd, cfg, kind=kind)
 
 

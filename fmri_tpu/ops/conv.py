@@ -62,8 +62,11 @@ def conv2d_transpose(
     """Transposed conv matching ``nn.ConvTranspose2d`` output geometry
     (``models/vae_gan.py:46-53``): out = (in-1)*stride - 2*padding + k + output_padding.
 
-    Weights are trained in this parameterization from scratch (we never load
-    torch checkpoints), so no kernel flip is applied.
+    No kernel flip happens here: this op computes a dilated *correlation*,
+    while torch's deconv scatters its kernel (a dilated convolution).  Torch
+    checkpoint interop exists — ``fmri_tpu/checkpoints/torch_import.py``
+    (``_deconv``) performs the 180-degree spatial rotation once at conversion
+    time, so adding a flip in this op would silently break import parity.
     """
     k = kernel.shape[0]
     lo = k - 1 - padding

@@ -151,6 +151,11 @@ def _open_packed_split(args, cfg, keys):
             raise SystemExit("--valid-input must also be a packed dir when "
                              "--input is one")
         valid, _ = open_packed(args.valid_input)
+        have_v = set(valid) if isinstance(valid, dict) else {"image"}
+        if set(keys) - have_v:
+            raise SystemExit(
+                f"packed dir {args.valid_input} lacks arrays "
+                f"{sorted(set(keys) - have_v)}")
         return train, valid
     n = len(next(iter(train.values()))) if isinstance(train, dict) else len(train)
     k = max(n // 10, cfg.train.batch_size)
