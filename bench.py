@@ -1,8 +1,14 @@
-"""Benchmark: Stage-I Dual-VAE/GAN training throughput (images/sec/chip).
+"""Benchmark suite: training throughput (images/sec/chip) for every headline
+config in BASELINE.md, machine-captured each round.
 
-Prints ONE JSON line:
+Prints ONE JSON line (driver contract) for the flagship config:
   {"metric": "stage1_train_imgs_per_sec_per_chip", "value": N,
    "unit": "imgs/sec", "vs_baseline": R}
+
+then measures the rest of the suite (res100 paper preset, WAE Stage I,
+Stage-II cognitive) and writes all results to ``BENCH_SUITE.json`` next to
+this file.  Set ``FMRI_TPU_BENCH_FAST=1`` to skip the non-flagship configs;
+``FMRI_TPU_BENCH_PRESET`` overrides the flagship preset.
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 is measured against BASELINE_IMGS_PER_SEC — the PyTorch-1.4 single-GPU
@@ -11,17 +17,15 @@ retained graph + per-batch host syncs) on a CUDA-10.1-era V100-class card,
 estimated at 1500 imgs/s for res64/batch-64 Stage I.  The driver's north star
 is >10x that (BASELINE.json).
 
-Measured config: the ``res64-bf16`` production preset (bf16 MXU operands,
-fp32 params/BN) with the spliced segment-wise backward — quality-validated
-against fp32 on the synthetic convergence run (BASELINE.md: PCC 0.65 vs
-0.62 after 30 epochs) and gradient-equivalence-tested vs the reference's
-backward schedule.  Override with FMRI_TPU_BENCH_PRESET.
+All timings sync by pulling a scalar to host (``float(x)``) —
+``block_until_ready`` returns early on the tunneled axon platform.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 BASELINE_IMGS_PER_SEC = 1500.0  # estimated CUDA reference (see module docstring)
@@ -30,7 +34,32 @@ WARMUP = 3
 ITERS = 20
 
 
-def main() -> None:
+def _prebuilt_keys(n: int):
+    """Per-step PRNG keys built and host-synced outside the timed loop (a
+    mid-loop jax.random.key() serializes dispatch)."""
+    import jax
+    import numpy as np
+
+    keys = [jax.random.key(i) for i in range(n)]
+    for k in keys:
+        np.asarray(jax.random.key_data(k))
+    return keys
+
+
+def _time_steps(run_step, sync_metric: str, batch: int,
+                warmup: int = WARMUP, iters: int = ITERS) -> float:
+    """run_step(i) -> metrics dict; returns imgs/sec (host-transfer synced)."""
+    for i in range(warmup):
+        metrics = run_step(i)
+    float(metrics[sync_metric])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        metrics = run_step(warmup + i)
+    float(metrics[sync_metric])
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def _vgan_stage1(preset: str) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -39,51 +68,148 @@ def main() -> None:
         RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
     )
 
-    cfg = get_config(os.environ.get("FMRI_TPU_BENCH_PRESET", "res64-bf16"))
+    cfg = get_config(preset)
     c = cfg.model
     step = make_vgan_stage1_step(cfg, "vae-gan", donate=True)
-
     groups = init_vaegan(jax.random.key(0), cfg)
     opt = RmsProp()
     g = {k: {"params": groups["params"][k], "batch_stats": groups["batch_stats"][k]}
          for k in groups["params"]}
     state = make_state(g, {k: opt for k in g})
-
     x = jax.random.uniform(
         jax.random.key(1), (BATCH, c.image_size, c.image_size, 3),
         minval=-1.0, maxval=1.0)
     margin, eq, lam = jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6)
+    keys = _prebuilt_keys(WARMUP + ITERS)
+    box = [state]
 
-    # Pre-build the per-step PRNG keys so no host work lands inside the
-    # timed loop (a mid-loop jax.random.key() serializes dispatch).
-    keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
-    # host pull of every key, not block_until_ready — the latter returns
-    # early on the tunneled platform (see the NOTE below)
-    import numpy as _np
-    for k in keys:
-        _np.asarray(jax.random.key_data(k))
+    def run(i):
+        box[0], metrics = step.train_step(box[0], x, keys[i], margin, eq, lam)
+        return metrics
 
-    for i in range(WARMUP):
-        state, metrics = step.train_step(state, x, keys[i], margin, eq, lam)
-    # NOTE: a host transfer, not block_until_ready — on the tunneled TPU
-    # platform block_until_ready returns before device completion, which
-    # inflated throughput ~15x; float() forces the full dependency chain.
-    float(metrics["loss_encoder"])
+    return _time_steps(run, "loss_encoder", BATCH)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = step.train_step(state, x, keys[WARMUP + i],
-                                         margin, eq, lam)
-    float(metrics["loss_encoder"])
-    dt = time.perf_counter() - t0
 
-    imgs_per_sec = BATCH * ITERS / dt
+def _wae_stage1(preset: str) -> float:
+    import jax
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.train import (
+        Adam, init_latent_disc, init_vaegan, make_state, make_wae_stage1_step,
+    )
+
+    cfg = get_config(preset)
+    c = cfg.model
+    step = make_wae_stage1_step(cfg, donate=True)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    groups = init_vaegan(k1, cfg)
+    g = {k: {"params": groups["params"][k], "batch_stats": groups["batch_stats"][k]}
+         for k in ("encoder", "decoder")}
+    g["latent_disc"] = init_latent_disc(k2, cfg, init_scheme="uniform")
+    opt = Adam()
+    state = make_state(g, {k: opt for k in g})
+    x = jax.random.uniform(
+        jax.random.key(1), (BATCH, c.image_size, c.image_size, 3),
+        minval=-1.0, maxval=1.0)
+    keys = _prebuilt_keys(WARMUP + ITERS)
+    box = [state]
+
+    def run(i):
+        box[0], metrics = step.train_step(box[0], x, keys[i])
+        return metrics
+
+    return _time_steps(run, "loss_reconstruction", BATCH)
+
+
+def _vgan_stage2(preset: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.train import (
+        RmsProp, init_cognitive, init_vaegan, make_state,
+        make_vgan_cognitive_step,
+    )
+
+    cfg = get_config(preset)
+    c = cfg.model
+    step = make_vgan_cognitive_step(cfg, stage=2, donate=True)
+    ks = jax.random.split(jax.random.key(0), 2)
+    vg = init_vaegan(ks[0], cfg)
+    cog = init_cognitive(ks[1], cfg)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "discriminator": {"params": vg["params"]["discriminator"],
+                          "batch_stats": vg["batch_stats"]["discriminator"]},
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+    }
+    state = make_state(groups,
+                       {k: RmsProp(clip=1.0) for k in ("encoder", "discriminator")})
+    batch = {
+        "fmri": jax.random.normal(jax.random.key(1), (BATCH, c.num_voxels)),
+        "image": jax.random.uniform(
+            jax.random.key(2), (BATCH, c.image_size, c.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+    margin, eq, lam = jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6)
+    keys = _prebuilt_keys(WARMUP + ITERS)
+    box = [state]
+
+    def run(i):
+        box[0], metrics = step.train_step(box[0], batch, keys[i], margin, eq, lam)
+        return metrics
+
+    return _time_steps(run, "loss_encoder", BATCH)
+
+
+# (name, measure fn, preset) — flagship FIRST: its JSON line is the driver
+# contract and must land on stdout even if a later config fails.
+SUITE = [
+    ("stage1_vgan_res64_bf16", _vgan_stage1,
+     os.environ.get("FMRI_TPU_BENCH_PRESET", "res64-bf16")),
+    ("stage1_wae_res64", _wae_stage1, "res64"),
+    ("stage1_vgan_res100_bf16", _vgan_stage1, "res100-bf16"),
+    ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
+]
+
+
+def main() -> None:
+    results = {}
+    name, fn, preset = SUITE[0]
+    v = fn(preset)
+    results[name] = {"imgs_per_sec": round(v, 1), "preset": preset,
+                     "batch": BATCH,
+                     "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 2)}
     print(json.dumps({
         "metric": "stage1_train_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 1),
+        "value": round(v, 1),
         "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 2),
+        "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 2),
     }))
+    sys.stdout.flush()
+
+    if os.environ.get("FMRI_TPU_BENCH_FAST") != "1":
+        for name, fn, preset in SUITE[1:]:
+            try:
+                v = fn(preset)
+                results[name] = {
+                    "imgs_per_sec": round(v, 1), "preset": preset,
+                    "batch": BATCH,
+                    "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 2)}
+                print(f"{name}: {v:.1f} imgs/s", file=sys.stderr)
+            except Exception as e:  # keep the suite going; record the failure
+                results[name] = {"error": f"{type(e).__name__}: {e}",
+                                 "preset": preset}
+                print(f"{name}: FAILED {e}", file=sys.stderr)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SUITE.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
 
 
 if __name__ == "__main__":
