@@ -69,11 +69,13 @@ def _maxpool(x, k=3, s=2):
 
 
 def _avgpool_same(x, k=3):
-    ones = lax.reduce_window(jnp.ones_like(x), 0.0, lax.add,
-                             (1, k, k, 1), (1, 1, 1, 1), "SAME")
+    """torchvision's branch pools are ``F.avg_pool2d(k=3, s=1, p=1)`` with the
+    torch default ``count_include_pad=True``: the divisor is k*k everywhere,
+    including edge windows that overlap the zero padding (verified against
+    the torch oracle in ``tests/test_inception_v3.py``)."""
     summed = lax.reduce_window(x, 0.0, lax.add, (1, k, k, 1), (1, 1, 1, 1),
                                "SAME")
-    return summed / ones
+    return summed / float(k * k)
 
 
 def _inception_a(p, n, x):

@@ -1,9 +1,12 @@
-"""Inception-v3 forward: key coverage, shape correctness, IS integration.
+"""Inception-v3 forward: torch-oracle parity, key coverage, IS integration.
 
 Generates a random state dict with the exact torchvision ``inception_v3``
-key/shape structure (no torchvision in this environment), so the test verifies
-that ``inception_v3_logits`` consumes every expected tensor and produces
-[B, 1000] logits.
+key/shape structure and asserts numerical parity of
+``inception_v3_logits`` against a torch reconstruction of torchvision's
+architecture (``tests/inception_torch_oracle.py`` — torchvision itself is
+not installed here).  BN stats and affine params are randomized so a
+mis-consumed tensor or a pool-semantics bug (e.g. torch's
+count-includes-pad average pool) cannot hide behind identity stats.
 """
 
 import os
@@ -14,11 +17,14 @@ import jax.numpy as jnp
 
 
 def _basic_conv(sd, name, cin, cout, kh, kw, rng):
-    sd[f"{name}.conv.weight"] = rng.normal(0, 0.05, (cout, cin, kh, kw)).astype(np.float32)
-    sd[f"{name}.bn.weight"] = np.ones(cout, np.float32)
-    sd[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
-    sd[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
-    sd[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+    # ~unit-gain init keeps 20-conv-deep activations O(1) so the parity
+    # tolerance is meaningful end to end.
+    std = 1.0 / np.sqrt(cin * kh * kw)
+    sd[f"{name}.conv.weight"] = rng.normal(0, std, (cout, cin, kh, kw)).astype(np.float32)
+    sd[f"{name}.bn.weight"] = rng.normal(1.0, 0.1, cout).astype(np.float32)
+    sd[f"{name}.bn.bias"] = rng.normal(0.0, 0.1, cout).astype(np.float32)
+    sd[f"{name}.bn.running_mean"] = rng.normal(0.0, 0.1, cout).astype(np.float32)
+    sd[f"{name}.bn.running_var"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
     sd[f"{name}.bn.num_batches_tracked"] = np.zeros((), np.int64)
 
 
@@ -79,8 +85,8 @@ def make_state_dict(rng) -> dict:
         bc(f"{n}.branch3x3dbl_3a", 384, 384, 1, 3)
         bc(f"{n}.branch3x3dbl_3b", 384, 384, 3, 1)
         bc(f"{n}.branch_pool", cin, 192, 1, 1)
-    sd["fc.weight"] = rng.normal(0, 0.01, (1000, 2048)).astype(np.float32)
-    sd["fc.bias"] = np.zeros(1000, np.float32)
+    sd["fc.weight"] = rng.normal(0, 0.02, (1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = rng.normal(0, 0.1, 1000).astype(np.float32)
     return sd
 
 
@@ -104,6 +110,37 @@ def test_logits_shape_and_key_coverage(weights_npz):
     logits = inception_v3_logits(params, x)
     assert logits.shape == (2, 1000)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_torch_oracle_logits_parity(weights_npz):
+    """Logits parity vs a torch rebuild of torchvision's forward.
+
+    The reference scores IS with torchvision's pretrained inception_v3
+    (``train/train_utils.py:848-881``); this pins the JAX forward to those
+    semantics so IS becomes exact the moment real weights land in the npz.
+    75x75 (torchvision's minimum input) still drives every block — the
+    deepest maps shrink to 1x1, where pool edge semantics bite hardest.
+    """
+    import torch
+
+    from inception_torch_oracle import InceptionV3Oracle
+    from fmri_tpu.metrics.inception_v3 import _load_params, inception_v3_logits
+
+    raw = np.load(weights_npz)
+    sd = {k: torch.from_numpy(raw[k]) for k in raw.files
+          if not k.startswith("AuxLogits")}
+    model = InceptionV3Oracle().eval()
+    model.load_state_dict(sd, strict=True)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0.0, 1.0, (2, 3, 75, 75)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+
+    got = np.asarray(inception_v3_logits(
+        _load_params(weights_npz), jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))))
+    assert np.max(np.abs(got - ref)) < 1e-4, (
+        f"max |delta| = {np.max(np.abs(got - ref)):.2e}")
 
 
 def test_inception_score_with_weights(weights_npz, monkeypatch):
