@@ -5,11 +5,12 @@ parity with the Beliy-style self-supervision experiments.
 All functions take NHWC images / [B, V] voxel vectors and are pure jax.
 The reference's VGG19-feature losses (``train_utils.py:131-178``) wrap
 torchvision's *pretrained* VGG19; pretrained weights are not shippable in this
-offline build, so the feature extractor is pluggable: pass any
-``feature_fn(images) -> activations`` (e.g. a Flax model restored from an
-exported ``.npz``).  A deterministic fixed-seed conv stack is provided as a
-default proxy, matching the pluggable-Inception pattern
-(``fmri_tpu.metrics.inception``).
+offline build, so the feature extractor is pluggable three ways, checked in
+order: (1) pass any ``feature_fn(images) -> activations``; (2) export the
+torchvision VGG19 ``features`` weights to an npz and set
+``FMRI_TPU_VGG19_NPZ`` — the losses then tap the exact reference layers
+(``fmri_tpu.losses.vgg19``, same contract as the pluggable Inception scorer);
+(3) fall back to a deterministic fixed-seed conv proxy.
 """
 
 from __future__ import annotations
@@ -80,9 +81,18 @@ def proxy_feature_fn(images: jax.Array, depth: int = 2) -> jax.Array:
     from fmri_tpu.ops.conv import conv2d
 
     x = images
-    for w in _proxy_feature_params((32, 64, 128, 128))[:depth]:
+    for w in _proxy_feature_params((32, 64, 128, 128, 128))[:depth]:
         x = jax.nn.relu(conv2d(x, w, stride=2, padding=1))
     return x
+
+
+def _default_feature_fn(depth: int) -> Callable:
+    """Real VGG19 tap when ``FMRI_TPU_VGG19_NPZ`` is exported, else proxy."""
+    from fmri_tpu.losses.vgg19 import vgg19_npz_path, vgg19_tap_fn
+
+    if vgg19_npz_path() is not None:
+        return vgg19_tap_fn(depth)
+    return lambda x: proxy_feature_fn(x, depth)
 
 
 def feature_loss(y_pred: jax.Array, y_true: jax.Array,
@@ -93,7 +103,7 @@ def feature_loss(y_pred: jax.Array, y_true: jax.Array,
     """RMSE between feature activations (``ImageLoss.vgg_loss``,
     ``train_utils.py:131-159``; conv1/conv2 taps map to ``depth`` 1/2)."""
     if feature_fn is None:
-        feature_fn = lambda x: proxy_feature_fn(x, depth)
+        feature_fn = _default_feature_fn(depth)
     y_pred = norm_image_prediction(y_pred, mean, std)
     fp = feature_fn(y_pred)
     ft = feature_fn(y_true)
@@ -102,12 +112,13 @@ def feature_loss(y_pred: jax.Array, y_true: jax.Array,
 
 def feature_cosine_loss(y_pred: jax.Array, y_true: jax.Array,
                         feature_fn: Optional[Callable] = None,
-                        depths: Sequence[int] = (1, 2, 3, 4)) -> jax.Array:
+                        depths: Sequence[int] = (1, 2, 3, 4, 5)) -> jax.Array:
     """Negative summed cosine similarity over multiple feature depths
-    (``ImageLoss.vgg_cosine_loss``, ``train_utils.py:161-178``)."""
+    (``ImageLoss.vgg_cosine_loss``, ``train_utils.py:161-178`` — five VGG19
+    taps, ``fmri_tpu.losses.vgg19.TAPS``)."""
     total = 0.0
     for d in depths:
-        fn = feature_fn or (lambda x, d=d: proxy_feature_fn(x, d))
+        fn = feature_fn or _default_feature_fn(d)
         total += -jnp.mean(_cosine_rows(fn(y_pred), fn(y_true)))
     return total
 
