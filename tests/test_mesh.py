@@ -215,3 +215,118 @@ def test_spmd_step_emits_gradient_allreduce():
         jnp.float32(0.68), jnp.float32(1e-6))
     hlo = lowered.compile().as_text()
     assert "all-reduce" in hlo, "no cross-replica reduction in the SPMD step"
+
+
+# ---------------------- WAE family under the mesh ----------------------
+# (VERDICT r1 weak #4: the WAE steps — three optimizers, two-phase update,
+# latent_disc group — previously never ran under a mesh.)
+
+from fmri_tpu.train import (  # noqa: E402
+    Adam, make_wae_cognitive_step, make_wae_stage1_step,
+)
+
+
+def _wae_state(seed=0):
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    g0 = init_vaegan(k1, CFG)
+    g = {k: {"params": g0["params"][k], "batch_stats": g0["batch_stats"][k]}
+         for k in ("encoder", "decoder")}
+    g["latent_disc"] = init_latent_disc(k2, CFG, init_scheme="uniform")
+    opt = Adam()
+    return make_state(g, {k: opt for k in g})
+
+
+def _wae_cog_state(seed=0, stage=2):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    vg = init_vaegan(ks[0], CFG)
+    cog = init_cognitive(ks[1], CFG)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+        "latent_disc": init_latent_disc(ks[2], CFG, init_scheme="normal"),
+    }
+    opt = Adam(b1=0.5, b2=0.999)
+    trained = ({"encoder": opt, "latent_disc": opt} if stage == 2
+               else {"decoder": opt, "latent_disc": opt})
+    return make_state(groups, trained)
+
+
+def _pair_batch(seed=0):
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    return {
+        "fmri": jax.random.normal(k1, (B, CFG.model.num_voxels)),
+        "image": jax.random.uniform(
+            k2, (B, CFG.model.image_size, CFG.model.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+
+
+def test_wae_stage1_step_data_parallel_matches_single_device():
+    step = make_wae_stage1_step(CFG, donate=False)
+    x = jax.random.uniform(jax.random.key(7),
+                           (B, CFG.model.image_size, CFG.model.image_size, 3),
+                           minval=-1.0, maxval=1.0)
+
+    s_single, m_single = step.train_step(_wae_state(), x, jax.random.key(3))
+
+    mesh = make_mesh()  # 8-way data parallel
+    state = shard_state(_wae_state(), mesh)
+    s_mesh, m_mesh = step.train_step(state, shard_batch(x, mesh),
+                                     jax.random.key(3))
+
+    for key in ("loss_reconstruction", "loss_penalty",
+                "loss_discriminator_fake", "loss_discriminator_real"):
+        np.testing.assert_allclose(float(m_single[key]), float(m_mesh[key]),
+                                   rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_wae_cognitive_stage2_voxel_tensor_parallel():
+    """Stage-II latent alignment under dp x voxel-TP: the cognitive fc1
+    kernel (and its Adam moments) shard over the model axis."""
+    step = make_wae_cognitive_step(CFG, stage=2, donate=False)
+    batch = _pair_batch()
+
+    s_single, m_single = step.train_step(_wae_cog_state(), batch,
+                                         jax.random.key(3))
+
+    mesh = make_mesh(model=2)
+    state = shard_state(_wae_cog_state(), mesh, voxel_tp=True)
+    sharded = shard_batch(batch, mesh, voxel_tp=True)
+    s_mesh, m_mesh = step.train_step(state, sharded, jax.random.key(3))
+
+    for key in ("loss_reconstruction", "loss_penalty"):
+        np.testing.assert_allclose(float(m_single[key]), float(m_mesh[key]),
+                                   rtol=2e-4)
+    fc1_single = np.asarray(s_single.params["encoder"]["fc1"]["kernel"])
+    fc1_mesh = np.asarray(s_mesh.params["encoder"]["fc1"]["kernel"])
+    np.testing.assert_allclose(fc1_single, fc1_mesh, rtol=2e-3, atol=2e-5)
+    assert "model" in str(s_mesh.params["encoder"]["fc1"]["kernel"].sharding.spec)
+
+
+def test_wae_cognitive_stage3_data_parallel():
+    """Stage-III decoder fine-tune (encoder frozen, fresh latent D) under
+    8-way DP matches single-device."""
+    step = make_wae_cognitive_step(CFG, stage=3, donate=False)
+    batch = _pair_batch(1)
+
+    s_single, m_single = step.train_step(_wae_cog_state(stage=3), batch,
+                                         jax.random.key(3))
+
+    mesh = make_mesh()
+    state = shard_state(_wae_cog_state(stage=3), mesh)
+    s_mesh, m_mesh = step.train_step(state, shard_batch(batch, mesh),
+                                     jax.random.key(3))
+
+    np.testing.assert_allclose(float(m_single["loss_reconstruction"]),
+                               float(m_mesh["loss_reconstruction"]), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params["decoder"]),
+                    jax.tree_util.tree_leaves(s_mesh.params["decoder"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
