@@ -10,6 +10,9 @@ host; each op runs ITERS times inside one jitted lax.scan with a scalar
 carry folded into the *weights* (cheap) so the compiler can't hoist the op.
 
 Usage:  python benchmarks/conv_breakdown.py [--iters 10] [--json out.json]
+        --pallas additionally times the ``fmri_tpu.ops.pallas_dw`` tap-matmul
+        weight-grad kernels (bf16 operands, fp32 accumulation) next to each
+        XLA dW row.
 """
 
 from __future__ import annotations
@@ -92,7 +95,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--pallas", action="store_true",
+                    help="also time fmri_tpu.ops.pallas_dw kernels")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated tag filter (e.g. disc2,dec1)")
     args = ap.parse_args()
+
+    if args.pallas:
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from fmri_tpu.ops import pallas_dw
 
     results = []
 
@@ -115,7 +128,10 @@ def main():
         ("disc4", 768, 16, 16, 256, 256, 2),
         ("outconv", 512, 64, 64, 64, 3, 1),
     ]
+    only = set(args.only.split(",")) if args.only else None
     for tag, b, h, w_, cin, cout, s in convs:
+        if only and tag not in only:
+            continue
         oh = h // s
         k1, k2, k3, key = jax.random.split(key, 4)
         x = jax.random.normal(k1, (b, h, w_, cin), jnp.float32)
@@ -143,6 +159,14 @@ def main():
         t = timed(lambda x_, cot_: dw_fn(x_, cot_), x, cot, iters=args.iters)
         report(f"{tag} dW", t, fl)
 
+        if args.pallas:
+            def pdw_fn(x_, cot_, s_=s):
+                return pallas_dw.conv2d_dw(x_, cot_, stride=s_, padding=2)
+
+            t = timed(pdw_fn, x.astype(jnp.bfloat16),
+                      cot.astype(jnp.bfloat16), iters=args.iters)
+            report(f"{tag} dW pallas", t, fl)
+
     # deconvs (decoder blocks, fused 2B batch)
     deconvs = [
         ("dec1", 512, 8, 8, 256, 256),
@@ -150,6 +174,8 @@ def main():
         ("dec3", 512, 32, 32, 128, 64),
     ]
     for tag, b, h, w_, cin, cout in deconvs:
+        if only and tag not in only:
+            continue
         oh = h * 2
         k1, k2, k3, key = jax.random.split(key, 4)
         x = jax.random.normal(k1, (b, h, w_, cin), jnp.float32)
@@ -174,11 +200,21 @@ def main():
         t = timed(lambda x_, cot_: ddw_fn(x_, cot_), x, cot, iters=args.iters)
         report(f"{tag} deconv dW", t, fl)
 
+        if args.pallas:
+            def pddw_fn(x_, cot_):
+                return pallas_dw.conv2d_transpose_dw(x_, cot_, output_padding=1)
+
+            t = timed(pddw_fn, x.astype(jnp.bfloat16),
+                      cot.astype(jnp.bfloat16), iters=args.iters)
+            report(f"{tag} deconv dW pallas", t, fl)
+
     # BatchNorm train fwd+bwd at the big activation shapes (bandwidth-bound:
     # report GB/s moved instead of TF/s)
     bns = [("bn_disc2", 768, 32, 32, 128), ("bn_disc3", 768, 16, 16, 256),
            ("bn_dec3", 512, 64, 64, 64), ("bn_dec2", 512, 32, 32, 128)]
     for tag, b, h, w_, c in bns:
+        if only and tag not in only:
+            continue
         k1, k2, key = jax.random.split(key, 3)
         x = jax.random.normal(k1, (b, h, w_, c), jnp.float32)
         cot = jax.random.normal(k2, (b, h, w_, c), jnp.float32)

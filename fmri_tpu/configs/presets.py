@@ -63,6 +63,11 @@ class ModelConfig:
     # is ~7% slower (worse backward scheduling), so this stays off; kept as a
     # documented, equivalence-tested experiment.
     fused_decoder_batch: bool = False
+    # Route conv/deconv weight grads through the Pallas tap-matmul kernels
+    # (fmri_tpu/ops/pallas_dw.py) instead of XLA's transpose-heavy
+    # conv-weight-grad lowering; forward and input grads unchanged.  Gradient
+    # equivalence: tests/test_pallas_dw.py, tests/test_steps.py.
+    pallas_backward: bool = False
 
     @property
     def fc_flat(self) -> int:

@@ -66,6 +66,7 @@ class EncoderBlock(nn.Module):
     stride: int = 2
     padding: int = 2
     compute_dtype: str | None = None
+    pallas_backward: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, tap: bool = False):
@@ -74,7 +75,8 @@ class EncoderBlock(nn.Module):
             (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
         )
         y = conv2d(x, kernel, stride=self.stride, padding=self.padding,
-                   compute_dtype=self.compute_dtype)
+                   compute_dtype=self.compute_dtype,
+                   pallas_backward=self.pallas_backward)
         pre_bn = y
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
@@ -98,6 +100,7 @@ class DecoderBlock(nn.Module):
     stride: int = 2
     padding: int = 2
     compute_dtype: str | None = None
+    pallas_backward: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -109,6 +112,7 @@ class DecoderBlock(nn.Module):
             x, kernel, stride=self.stride, padding=self.padding,
             output_padding=1 if self.output_pad else 0,
             compute_dtype=self.compute_dtype,
+            pallas_backward=self.pallas_backward,
         )
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
@@ -126,7 +130,7 @@ class VisualEncoder(nn.Module):
         c = self.cfg
         for feats in c.encoder_channels:
             x = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
-                             c.compute_dtype)(x, train=train)
+                             c.compute_dtype, c.pallas_backward)(x, train=train)
         x = x.reshape((x.shape[0], -1))
         x = _dense(c.fc_output, c, use_bias=False)(x).astype(jnp.float32)
         x = nn.BatchNorm(
@@ -186,12 +190,14 @@ class Decoder(nn.Module):
         for f, op in zip(feats, c.output_pad_dec):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
                              stride=c.stride, padding=c.padding,
-                             compute_dtype=c.compute_dtype)(x, train=train)
+                             compute_dtype=c.compute_dtype,
+                             pallas_backward=c.pallas_backward)(x, train=train)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
         x = conv2d(x, kernel, stride=1, padding=2,
-                   compute_dtype=c.compute_dtype) + bias
+                   compute_dtype=c.compute_dtype,
+                   pallas_backward=c.pallas_backward) + bias
         return jnp.tanh(x)
 
 
@@ -215,11 +221,12 @@ class ImageDiscriminator(nn.Module):
             "in_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.discrim_channels[0]))
         bias = self.param("in_bias", nn.initializers.zeros, (c.discrim_channels[0],))
         x = nn.relu(conv2d(x, kernel, stride=c.stride_gan, padding=2,
-                           compute_dtype=c.compute_dtype) + bias)
+                           compute_dtype=c.compute_dtype,
+                           pallas_backward=c.pallas_backward) + bias)
         features = None
         for i, feats in enumerate(c.discrim_channels[1:], start=1):
             block = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
-                                 c.compute_dtype)
+                                 c.compute_dtype, c.pallas_backward)
             if i == c.recon_level:
                 x, pre_bn = block(x, train=train, tap=True)
                 features = pre_bn.reshape((pre_bn.shape[0], -1))
@@ -283,12 +290,14 @@ class VoxelDecoder(nn.Module):
         for f, op in zip(feats, c.output_pad_dec):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
                              stride=c.stride, padding=c.padding,
-                             compute_dtype=c.compute_dtype)(x, train=train)
+                             compute_dtype=c.compute_dtype,
+                             pallas_backward=c.pallas_backward)(x, train=train)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
         x = conv2d(x, kernel, stride=1, padding=2,
-                   compute_dtype=c.compute_dtype) + bias
+                   compute_dtype=c.compute_dtype,
+                   pallas_backward=c.pallas_backward) + bias
         return jnp.tanh(x)
 
 
@@ -312,11 +321,13 @@ class WaeDecoder(nn.Module):
         for f, op in zip((512, 256, 128), c.output_pad_dec):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
                              stride=c.stride, padding=c.padding,
-                             compute_dtype=c.compute_dtype)(x, train=train)
+                             compute_dtype=c.compute_dtype,
+                             pallas_backward=c.pallas_backward)(x, train=train)
         kernel = self.param("out_kernel", ref_uniform_init, (5, 5, x.shape[-1], 3))
         bias = self.param("out_bias", nn.initializers.zeros, (3,))
         x = conv2d(x, kernel, stride=1, padding=2,
-                   compute_dtype=c.compute_dtype) + bias
+                   compute_dtype=c.compute_dtype,
+                   pallas_backward=c.pallas_backward) + bias
         return jnp.tanh(x)
 
 

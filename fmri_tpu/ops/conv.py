@@ -14,6 +14,8 @@ scatter.  PyTorch's ``ConvTranspose2d(k, s, p, output_padding=op)`` produces
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -35,12 +37,18 @@ def _cast_operands(x, kernel, compute_dtype):
 
 
 def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0,
-           compute_dtype=None) -> jax.Array:
+           compute_dtype=None, pallas_backward: bool = False) -> jax.Array:
     """Standard strided conv, matching ``nn.Conv2d(k, s, p)`` shapes.
 
     x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout].
     ``compute_dtype='bfloat16'`` feeds the MXU in bf16 (fp32 result).
+    ``pallas_backward=True`` routes the weight grad through the Pallas
+    tap-matmul kernel (``fmri_tpu.ops.pallas_dw``) instead of XLA's
+    transpose-heavy conv-weight-grad lowering; forward and input grad are
+    unchanged.  Gradient equivalence: ``tests/test_pallas_dw.py``.
     """
+    if pallas_backward:
+        return _conv2d_pdw(x, kernel, stride, padding, _dtype_key(compute_dtype))
     x, kernel, cast_back = _cast_operands(x, kernel, compute_dtype)
     out = lax.conv_general_dilated(
         x, kernel,
@@ -51,6 +59,40 @@ def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0,
     return out.astype(jnp.float32) if cast_back else out
 
 
+def _dtype_key(compute_dtype) -> str | None:
+    """Hashable form of compute_dtype for custom_vjp nondiff args."""
+    return None if compute_dtype is None else jnp.dtype(compute_dtype).name
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv2d_pdw(x, kernel, stride, padding, compute_dtype):
+    return conv2d(x, kernel, stride, padding, compute_dtype)
+
+
+def _conv2d_pdw_fwd(x, kernel, stride, padding, compute_dtype):
+    return conv2d(x, kernel, stride, padding, compute_dtype), (x, kernel)
+
+
+def _conv2d_pdw_bwd(stride, padding, compute_dtype, res, dy):
+    from fmri_tpu.ops import pallas_dw as _pdw  # deferred: keeps import light
+
+    x, kernel = res
+    dx = jax.vjp(
+        lambda xx: conv2d(xx, kernel, stride, padding, compute_dtype), x
+    )[1](dy)[0]
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        xc, dyc = x.astype(cd), dy.astype(cd)
+    else:
+        xc, dyc = x, dy
+    dw = _pdw.conv2d_dw(xc, dyc, stride=stride, padding=padding,
+                        k=kernel.shape[0])
+    return dx, dw.astype(kernel.dtype)
+
+
+_conv2d_pdw.defvjp(_conv2d_pdw_fwd, _conv2d_pdw_bwd)
+
+
 def conv2d_transpose(
     x: jax.Array,
     kernel: jax.Array,
@@ -58,6 +100,7 @@ def conv2d_transpose(
     padding: int = 2,
     output_padding: int = 0,
     compute_dtype=None,
+    pallas_backward: bool = False,
 ) -> jax.Array:
     """Transposed conv matching ``nn.ConvTranspose2d`` output geometry
     (``models/vae_gan.py:46-53``): out = (in-1)*stride - 2*padding + k + output_padding.
@@ -68,6 +111,9 @@ def conv2d_transpose(
     (``_deconv``) performs the 180-degree spatial rotation once at conversion
     time, so adding a flip in this op would silently break import parity.
     """
+    if pallas_backward:
+        return _deconv_pdw(x, kernel, stride, padding, output_padding,
+                           _dtype_key(compute_dtype))
     k = kernel.shape[0]
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
@@ -80,6 +126,40 @@ def conv2d_transpose(
         dimension_numbers=DIMSPEC,
     )
     return out.astype(jnp.float32) if cast_back else out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _deconv_pdw(x, kernel, stride, padding, output_padding, compute_dtype):
+    return conv2d_transpose(x, kernel, stride, padding, output_padding,
+                            compute_dtype)
+
+
+def _deconv_pdw_fwd(x, kernel, stride, padding, output_padding, compute_dtype):
+    out = conv2d_transpose(x, kernel, stride, padding, output_padding,
+                           compute_dtype)
+    return out, (x, kernel)
+
+
+def _deconv_pdw_bwd(stride, padding, output_padding, compute_dtype, res, dy):
+    from fmri_tpu.ops import pallas_dw as _pdw
+
+    x, kernel = res
+    dx = jax.vjp(
+        lambda xx: conv2d_transpose(xx, kernel, stride, padding,
+                                    output_padding, compute_dtype), x
+    )[1](dy)[0]
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        xc, dyc = x.astype(cd), dy.astype(cd)
+    else:
+        xc, dyc = x, dy
+    dw = _pdw.conv2d_transpose_dw(xc, dyc, stride=stride, padding=padding,
+                                  output_padding=output_padding,
+                                  k=kernel.shape[0])
+    return dx, dw.astype(kernel.dtype)
+
+
+_deconv_pdw.defvjp(_deconv_pdw_fwd, _deconv_pdw_bwd)
 
 
 def depthwise_conv2d(x: jax.Array, kernel: jax.Array, padding: int = 0) -> jax.Array:
