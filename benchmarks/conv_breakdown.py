@@ -121,8 +121,10 @@ def main():
 
     # (tag, B, H, W, Cin, Cout, stride)  -- k=5, p=2 everywhere
     convs = [
+        ("enc1", 256, 64, 64, 3, 64, 2),
         ("enc2", 256, 32, 32, 64, 128, 2),
         ("enc3", 256, 16, 16, 128, 256, 2),
+        ("disc1", 768, 64, 64, 3, 32, 1),
         ("disc2", 768, 64, 64, 32, 128, 2),
         ("disc3", 768, 32, 32, 128, 256, 2),
         ("disc4", 768, 16, 16, 256, 256, 2),

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM working budget per program (bytes); leaves headroom of the ~16 MB.
-_VMEM_BUDGET = 11 * 1024 * 1024
+# VMEM working budget per program (bytes); leaves headroom of the ~16 MB for
+# the fp32 accumulator output and Mosaic bookkeeping.
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -41,7 +42,15 @@ def _interpret() -> bool:
 
 
 def _pick_tb(batch: int, bytes_per_sample: int) -> int:
-    """Largest divisor of ``batch`` whose tile fits the VMEM budget."""
+    """Largest divisor of ``batch`` whose tile fits the VMEM budget.
+
+    ``bytes_per_sample`` must count EVERYTHING proportional to the tile: the
+    double-buffered input blocks plus the kernel's per-tap reshape temps —
+    Mosaic's stack allocator keeps each unrolled tap's relayout copy live for
+    the whole body (measured: a 16-sample disc-shape tile wanted 50.5 MB of
+    scoped vmem, ~25x the tap temp + 2x the blocks), so undercounting OOMs
+    at compile time on real hardware.
+    """
     tb = max(1, min(batch, _VMEM_BUDGET // max(bytes_per_sample, 1)))
     while batch % tb:
         tb -= 1
@@ -63,7 +72,15 @@ def _tap_matmul(lhs: jax.Array, rhs: jax.Array,
     t = len(taps)
     esz = lhs.dtype.itemsize
     out_shape = (t, co, ci) if swap else (t, ci, co)
-    tb = _pick_tb(b, (p * hp * wp * ci + q * oh * ow * co) * esz)
+    # Per-sample VMEM bill: 2x double-buffered in-blocks + one live reshape
+    # temp per unrolled tap (lhs-side a2) + one per distinct rhs plane (d2).
+    n_rq = len({tap[1] for tap in taps})
+    per_sample = (
+        2 * (p * hp * wp * ci + q * oh * ow * co)   # in-blocks, double-buffered
+        + t * oh * ow * ci                           # a2 copies, all taps live
+        + n_rq * oh * ow * co                        # d2 copies
+    ) * esz
+    tb = _pick_tb(b, per_sample)
 
     def kernel(lhs_ref, rhs_ref, out_ref):
         @pl.when(pl.program_id(0) == 0)
