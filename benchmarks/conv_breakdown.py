@@ -97,15 +97,27 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--pallas", action="store_true",
                     help="also time fmri_tpu.ops.pallas_dw kernels")
+    ap.add_argument("--alt", action="store_true",
+                    help="also time fmri_tpu.ops.conv_alt reformulations "
+                         "(patches dW for small-Co s1 convs, phases dX for "
+                         "s2 convs)")
+    ap.add_argument("--fp8", action="store_true",
+                    help="also time the discriminator convs with "
+                         "float8_e4m3fn operands (the TODO.md fp8-disc "
+                         "experiment; v5e has no fp8 MXU so XLA is expected "
+                         "to upconvert — measure either way)")
     ap.add_argument("--only", default=None,
                     help="comma-separated tag filter (e.g. disc2,dec1)")
     args = ap.parse_args()
 
-    if args.pallas:
+    if args.pallas or args.alt:
         import sys
         from pathlib import Path
         sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    if args.pallas:
         from fmri_tpu.ops import pallas_dw
+    if args.alt:
+        from fmri_tpu.ops import conv_alt
 
     results = []
 
@@ -168,6 +180,40 @@ def main():
             t = timed(pdw_fn, x.astype(jnp.bfloat16),
                       cot.astype(jnp.bfloat16), iters=args.iters)
             report(f"{tag} dW pallas", t, fl)
+
+        if args.alt and s == 2:
+            def adx_fn(cot_, w_2, hw=(h, w_)):
+                return conv_alt.conv2d_dx_phases(
+                    cot_.astype(jnp.bfloat16), w_2.astype(jnp.bfloat16), hw)
+
+            t = timed(adx_fn, cot, w, iters=args.iters)
+            report(f"{tag} dX phases", t, fl)
+
+        if args.fp8 and tag.startswith("disc"):
+            def f8_fn(x_, w_2, s_=s):
+                f8 = jnp.float8_e4m3fn
+                out = lax.conv_general_dilated(
+                    x_.astype(f8), w_2.astype(f8), (s_, s_), [(2, 2)] * 2,
+                    dimension_numbers=DIM,
+                    preferred_element_type=jnp.float32)
+                return out
+
+            try:
+                t = timed(f8_fn, x, w, iters=args.iters)
+                report(f"{tag} fwd fp8", t, fl)
+            except Exception as e:  # pragma: no cover - hw dependent
+                print(f"{tag} fwd fp8: unsupported ({type(e).__name__}: "
+                      f"{str(e)[:120]})")
+                results.append({"op": f"{tag} fwd fp8", "error": str(e)[:200]})
+
+        if args.alt and s == 1 and cout <= 16:
+            def adw_fn(x_, cot_):
+                return conv_alt.conv2d_dw_patches(
+                    x_.astype(jnp.bfloat16), cot_.astype(jnp.bfloat16),
+                    padding=2)
+
+            t = timed(adw_fn, x, cot, iters=args.iters)
+            report(f"{tag} dW patches", t, fl)
 
     # deconvs (decoder blocks, fused 2B batch)
     deconvs = [

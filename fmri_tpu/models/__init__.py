@@ -3,3 +3,6 @@ from fmri_tpu.models.nets import (  # noqa: F401
     ImageDiscriminator, LatentDiscriminator, ResNetEncoder, VisualEncoder,
     VoxelDecoder, WaeDecoder, reparameterize,
 )
+from fmri_tpu.models.resnet152 import (  # noqa: F401
+    resnet152_trunk_fn, resnet_trunk,
+)

@@ -20,7 +20,7 @@ design, not omission:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -355,27 +355,37 @@ class ResNetEncoder(nn.Module):
     """Residual VAE encoder — **dead code in the reference**
     (``vae_gan.py:658-702``, only a commented call site at ``:245``), kept for
     capability parity.  The reference wraps torchvision's *pretrained*
-    resnet152 trunk; pretrained torchvision weights are not shippable in this
-    offline TPU build, so the trunk here is a compact residual stack trained
-    from scratch with the same head contract: trunk -> GAP ->
-    Dense(1024)+BN -> Dense(768)+BN -> (mu, logvar) heads
-    (``vae_gan.py:677-686,693-702``)."""
+    resnet152 trunk (``vae_gan.py:661-668``); pretrained weights are not
+    shippable in this offline TPU build, so by default the trunk is a compact
+    residual stack trained from scratch with the same head contract: trunk ->
+    GAP -> Dense(1024)+BN -> Dense(768)+BN -> (mu, logvar) heads
+    (``vae_gan.py:677-686,693-702``).
+
+    With exported torchvision weights available
+    (``fmri_tpu.models.resnet152``: set ``FMRI_TPU_RESNET152_NPZ`` and pass
+    ``trunk_fn=resnet152_trunk_fn()``), the trunk is the *real* frozen
+    pretrained resnet152 feature extractor — exactly the reference's
+    configuration."""
 
     cfg: ModelConfig
     fc_hidden1: int = 1024
     fc_hidden2: int = 768
+    trunk_fn: Callable | None = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         c = self.cfg
         bn1d = lambda y: nn.BatchNorm(use_running_average=not train,
                                       momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
-        h = nn.Conv(64, (7, 7), (2, 2), use_bias=False)(x)
-        h = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                 momentum=BN_MOMENTUM, epsilon=BN_EPS)(h))
-        for feats, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
-            h = _ResBlock(feats, stride)(h, train=train)
-        h = jnp.mean(h, axis=(1, 2))  # global average pool (resnet avgpool)
+        if self.trunk_fn is not None:
+            h = self.trunk_fn(x)  # frozen pretrained features [B, 2048]
+        else:
+            h = nn.Conv(64, (7, 7), (2, 2), use_bias=False)(x)
+            h = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                     momentum=BN_MOMENTUM, epsilon=BN_EPS)(h))
+            for feats, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
+                h = _ResBlock(feats, stride)(h, train=train)
+            h = jnp.mean(h, axis=(1, 2))  # global average pool (resnet avgpool)
         h = nn.relu(bn1d(nn.Dense(self.fc_hidden1)(h)))
         h = nn.relu(bn1d(nn.Dense(self.fc_hidden2)(h)))
         mu = nn.Dense(c.latent_dim)(h)
