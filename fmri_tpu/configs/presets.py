@@ -68,6 +68,12 @@ class ModelConfig:
     # conv-weight-grad lowering; forward and input grads unchanged.  Gradient
     # equivalence: tests/test_pallas_dw.py, tests/test_steps.py.
     pallas_backward: bool = False
+    # Swap in the fmri_tpu/ops/conv_alt.py algebraic backward rewrites where
+    # they apply (subpixel-phase dX for stride-2 convs, patches dW for the
+    # small-Co output conv) — the per-op weak spots of XLA's stock conv
+    # backward (docs/design.md §8b).  Gradient equivalence:
+    # tests/test_conv_alt.py.
+    alt_backward: bool = False
 
     @property
     def fc_flat(self) -> int:

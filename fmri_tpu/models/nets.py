@@ -67,6 +67,7 @@ class EncoderBlock(nn.Module):
     padding: int = 2
     compute_dtype: str | None = None
     pallas_backward: bool = False
+    alt_backward: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, tap: bool = False):
@@ -76,7 +77,8 @@ class EncoderBlock(nn.Module):
         )
         y = conv2d(x, kernel, stride=self.stride, padding=self.padding,
                    compute_dtype=self.compute_dtype,
-                   pallas_backward=self.pallas_backward)
+                   pallas_backward=self.pallas_backward,
+                   alt_backward=self.alt_backward)
         pre_bn = y
         y = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
@@ -130,7 +132,8 @@ class VisualEncoder(nn.Module):
         c = self.cfg
         for feats in c.encoder_channels:
             x = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
-                             c.compute_dtype, c.pallas_backward)(x, train=train)
+                             c.compute_dtype, c.pallas_backward,
+                             c.alt_backward)(x, train=train)
         x = x.reshape((x.shape[0], -1))
         x = _dense(c.fc_output, c, use_bias=False)(x).astype(jnp.float32)
         x = nn.BatchNorm(
@@ -197,7 +200,8 @@ class Decoder(nn.Module):
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
         x = conv2d(x, kernel, stride=1, padding=2,
                    compute_dtype=c.compute_dtype,
-                   pallas_backward=c.pallas_backward) + bias
+                   pallas_backward=c.pallas_backward,
+                   alt_backward=c.alt_backward) + bias
         return jnp.tanh(x)
 
 
@@ -222,11 +226,13 @@ class ImageDiscriminator(nn.Module):
         bias = self.param("in_bias", nn.initializers.zeros, (c.discrim_channels[0],))
         x = nn.relu(conv2d(x, kernel, stride=c.stride_gan, padding=2,
                            compute_dtype=c.compute_dtype,
-                           pallas_backward=c.pallas_backward) + bias)
+                           pallas_backward=c.pallas_backward,
+                           alt_backward=c.alt_backward) + bias)
         features = None
         for i, feats in enumerate(c.discrim_channels[1:], start=1):
             block = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
-                                 c.compute_dtype, c.pallas_backward)
+                                 c.compute_dtype, c.pallas_backward,
+                                 c.alt_backward)
             if i == c.recon_level:
                 x, pre_bn = block(x, train=train, tap=True)
                 features = pre_bn.reshape((pre_bn.shape[0], -1))
@@ -297,7 +303,8 @@ class VoxelDecoder(nn.Module):
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
         x = conv2d(x, kernel, stride=1, padding=2,
                    compute_dtype=c.compute_dtype,
-                   pallas_backward=c.pallas_backward) + bias
+                   pallas_backward=c.pallas_backward,
+                   alt_backward=c.alt_backward) + bias
         return jnp.tanh(x)
 
 
@@ -327,7 +334,8 @@ class WaeDecoder(nn.Module):
         bias = self.param("out_bias", nn.initializers.zeros, (3,))
         x = conv2d(x, kernel, stride=1, padding=2,
                    compute_dtype=c.compute_dtype,
-                   pallas_backward=c.pallas_backward) + bias
+                   pallas_backward=c.pallas_backward,
+                   alt_backward=c.alt_backward) + bias
         return jnp.tanh(x)
 
 

@@ -37,7 +37,8 @@ def _cast_operands(x, kernel, compute_dtype):
 
 
 def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0,
-           compute_dtype=None, pallas_backward: bool = False) -> jax.Array:
+           compute_dtype=None, pallas_backward: bool = False,
+           alt_backward: bool = False) -> jax.Array:
     """Standard strided conv, matching ``nn.Conv2d(k, s, p)`` shapes.
 
     x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout].
@@ -46,9 +47,22 @@ def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0,
     tap-matmul kernel (``fmri_tpu.ops.pallas_dw``) instead of XLA's
     transpose-heavy conv-weight-grad lowering; forward and input grad are
     unchanged.  Gradient equivalence: ``tests/test_pallas_dw.py``.
+    ``alt_backward=True`` instead swaps in the ``fmri_tpu.ops.conv_alt``
+    algebraic rewrites where they apply (subpixel-phase dX for k5/p2 stride-2
+    convs; patches dW for stride-1 convs with <=16 output channels — the
+    per-op weak spots of XLA's stock backward, docs/design.md §8b); takes
+    effect only where a rewrite exists, and ``pallas_backward`` wins if both
+    are set.  Gradient equivalence: ``tests/test_conv_alt.py``.
     """
     if pallas_backward:
         return _conv2d_pdw(x, kernel, stride, padding, _dtype_key(compute_dtype))
+    k, co = kernel.shape[0], kernel.shape[-1]
+    # The phase rewrite needs exact spatial halving (even H/W — res100's odd
+    # 25x25 layer falls back to the stock backward).
+    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    if alt_backward and ((stride == 2 and k == 5 and padding == 2 and even)
+                         or (stride == 1 and co <= 16)):
+        return _conv2d_alt(x, kernel, stride, padding, _dtype_key(compute_dtype))
     x, kernel, cast_back = _cast_operands(x, kernel, compute_dtype)
     out = lax.conv_general_dilated(
         x, kernel,
@@ -91,6 +105,42 @@ def _conv2d_pdw_bwd(stride, padding, compute_dtype, res, dy):
 
 
 _conv2d_pdw.defvjp(_conv2d_pdw_fwd, _conv2d_pdw_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv2d_alt(x, kernel, stride, padding, compute_dtype):
+    return conv2d(x, kernel, stride, padding, compute_dtype)
+
+
+def _conv2d_alt_fwd(x, kernel, stride, padding, compute_dtype):
+    return conv2d(x, kernel, stride, padding, compute_dtype), (x, kernel)
+
+
+def _conv2d_alt_bwd(stride, padding, compute_dtype, res, dy):
+    from fmri_tpu.ops import conv_alt as _alt  # deferred: keeps import light
+
+    x, kernel = res
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        xc, kc, dyc = x.astype(cd), kernel.astype(cd), dy.astype(cd)
+    else:
+        xc, kc, dyc = x, kernel, dy
+    if stride == 2:
+        dx = _alt.conv2d_dx_phases(dyc, kc, x.shape[1:3], padding)
+    else:
+        dx = jax.vjp(
+            lambda xx: conv2d(xx, kernel, stride, padding, compute_dtype), x
+        )[1](dy)[0]
+    if stride == 1 and kernel.shape[-1] <= 16:
+        dw = _alt.conv2d_dw_patches(xc, dyc, padding, k=kernel.shape[0])
+    else:
+        dw = jax.vjp(
+            lambda ww: conv2d(x, ww, stride, padding, compute_dtype), kernel
+        )[1](dy)[0]
+    return dx.astype(x.dtype), dw.astype(kernel.dtype)
+
+
+_conv2d_alt.defvjp(_conv2d_alt_fwd, _conv2d_alt_bwd)
 
 
 def conv2d_transpose(
