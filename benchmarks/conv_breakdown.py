@@ -27,7 +27,14 @@ import numpy as np
 from jax import lax
 
 PEAK_TFLOPS = 197.0  # v5e bf16
+HBM_GBPS = 819.0     # v5e HBM bandwidth
 DIM = ("NHWC", "HWIO", "NHWC")
+
+
+def sol_ms(flops: float, nbytes: float) -> float:
+    """Speed-of-light: an op can go no faster than both its FLOP time at MXU
+    peak and its HBM time at full bandwidth."""
+    return max(flops / (PEAK_TFLOPS * 1e12), nbytes / (HBM_GBPS * 1e9)) * 1e3
 
 
 def conv_fwd(x, w, stride, padding):
@@ -121,13 +128,17 @@ def main():
 
     results = []
 
-    def report(name, t, flops):
+    def report(name, t, flops, nbytes=None):
         tf = flops / t / 1e12
         row = {"op": name, "ms": round(t * 1e3, 3), "tflops": round(tf, 1),
                "pct_peak": round(100 * tf / PEAK_TFLOPS, 1)}
+        sol = ""
+        if nbytes is not None:
+            row["sol_ms"] = round(sol_ms(flops, nbytes), 3)
+            sol = f"  sol {row['sol_ms']:6.3f} ms ({t*1e3/row['sol_ms']:4.1f}x)"
         results.append(row)
         print(f"{name:34s} {row['ms']:8.3f} ms  {row['tflops']:6.1f} TF/s "
-              f"({row['pct_peak']:4.1f}% peak)")
+              f"({row['pct_peak']:4.1f}% peak){sol}")
 
     key = jax.random.key(0)
 
@@ -152,10 +163,12 @@ def main():
         w = jax.random.normal(k2, (5, 5, cin, cout), jnp.float32) * 0.05
         cot = jax.random.normal(k3, (b, oh, oh, cout), jnp.float32)
         fl = conv_flops(b, oh, oh, 5, cin, cout)
+        bx, bw, by = x.size, w.size, cot.size  # element counts
 
         t = timed(lambda x_, w_2: conv_fwd(x_, w_2, s, 2), x, w,
                   iters=args.iters)
-        report(f"{tag} fwd [{b},{h},{w_},{cin}->{cout}]/{s}", t, fl)
+        report(f"{tag} fwd [{b},{h},{w_},{cin}->{cout}]/{s}", t, fl,
+               (bx + bw) * 2 + by * 4)
 
         # dX: cotangent pulled back to the input (weights perturbed by carry)
         def dx_fn(cot_, w_2, x_=x, s_=s):
@@ -163,7 +176,7 @@ def main():
             return jax.grad(f)(x_)
 
         t = timed(dx_fn, cot, w, iters=args.iters)
-        report(f"{tag} dX", t, fl)
+        report(f"{tag} dX", t, fl, (by + bw) * 2 + bx * 4)
 
         # dW: forward value is dead code (XLA prunes it)
         def dw_fn(x_, cot_, w_2=w, s_=s):
@@ -171,7 +184,7 @@ def main():
             return jax.grad(f)(w_2 + cot_.ravel()[0] * 0)
 
         t = timed(lambda x_, cot_: dw_fn(x_, cot_), x, cot, iters=args.iters)
-        report(f"{tag} dW", t, fl)
+        report(f"{tag} dW", t, fl, (bx + by) * 2 + bw * 4)
 
         if args.pallas:
             def pdw_fn(x_, cot_, s_=s):
@@ -187,7 +200,7 @@ def main():
                     cot_.astype(jnp.bfloat16), w_2.astype(jnp.bfloat16), hw)
 
             t = timed(adx_fn, cot, w, iters=args.iters)
-            report(f"{tag} dX phases", t, fl)
+            report(f"{tag} dX phases", t, fl, (by + bw) * 2 + bx * 4)
 
         if args.fp8 and tag.startswith("disc"):
             def f8_fn(x_, w_2, s_=s):
@@ -213,7 +226,7 @@ def main():
                     padding=2)
 
             t = timed(adw_fn, x, cot, iters=args.iters)
-            report(f"{tag} dW patches", t, fl)
+            report(f"{tag} dW patches", t, fl, (bx + by) * 2 + bw * 4)
 
     # deconvs (decoder blocks, fused 2B batch)
     deconvs = [
@@ -230,23 +243,25 @@ def main():
         w = jax.random.normal(k2, (5, 5, cin, cout), jnp.float32) * 0.05
         cot = jax.random.normal(k3, (b, oh, oh, cout), jnp.float32)
         fl = conv_flops(b, oh, oh, 5, cin, cout, zero_skip=0.25)
+        bx, bw, by = x.size, w.size, cot.size
 
         t = timed(lambda x_, w_2: deconv_fwd(x_, w_2), x, w, iters=args.iters)
-        report(f"{tag} deconv fwd [{b},{h}->{oh},{cin}->{cout}]", t, fl)
+        report(f"{tag} deconv fwd [{b},{h}->{oh},{cin}->{cout}]", t, fl,
+               (bx + bw) * 2 + by * 4)
 
         def ddx_fn(cot_, w_2, x_=x):
             f = lambda xx: jnp.vdot(deconv_fwd(xx, w_2), cot_)
             return jax.grad(f)(x_)
 
         t = timed(ddx_fn, cot, w, iters=args.iters)
-        report(f"{tag} deconv dX", t, fl)
+        report(f"{tag} deconv dX", t, fl, (by + bw) * 2 + bx * 4)
 
         def ddw_fn(x_, cot_, w_2=w):
             f = lambda ww: jnp.vdot(deconv_fwd(x_, ww), cot_)
             return jax.grad(f)(w_2 + cot_.ravel()[0] * 0)
 
         t = timed(lambda x_, cot_: ddw_fn(x_, cot_), x, cot, iters=args.iters)
-        report(f"{tag} deconv dW", t, fl)
+        report(f"{tag} deconv dW", t, fl, (bx + by) * 2 + bw * 4)
 
         if args.pallas:
             def pddw_fn(x_, cot_):
@@ -290,6 +305,22 @@ def main():
         results.append({"op": f"{tag} bwd", "ms": round(t * 1e3, 3),
                         "gbps": round(row_tf, 1)})
         print(f"{tag+' bwd':34s} {t*1e3:8.3f} ms  {row_tf:6.1f} GB/s eff")
+
+        if args.pallas:
+            from fmri_tpu.ops import pallas_bn
+
+            def pbn_bwd(cot_, gamma_, x_=x):
+                # same BN+ReLU composite as the XLA row, BN bwd via Pallas
+                f = lambda xx, g: jnp.vdot(jax.nn.relu(
+                    pallas_bn.batch_norm_train(xx, g, beta, 1e-5)[0]), cot_)
+                return jax.grad(f, argnums=(0, 1))(x_, gamma_)
+
+            t = timed(pbn_bwd, cot, gamma, iters=args.iters)
+            row_tf = 3 * nbytes / t / 1e9
+            results.append({"op": f"{tag} bwd pallas", "ms": round(t * 1e3, 3),
+                            "gbps": round(row_tf, 1)})
+            print(f"{tag+' bwd pallas':34s} {t*1e3:8.3f} ms  "
+                  f"{row_tf:6.1f} GB/s eff")
 
     if args.json:
         with open(args.json, "w") as f:

@@ -1,0 +1,154 @@
+"""Pallas TPU kernels for the train-mode BatchNorm backward.
+
+The round-1 step profile attributes 16.6% of the flagship step to
+``convert_reduce_fusion`` — the BatchNorm backward's channel reductions
+(docs/design.md §8).  The backward is information-theoretically two passes
+over (x, dy):
+
+    pass 1 (reduce):   s_dy = sum dy,   s_dyx = sum dy * xhat
+    pass 2 (apply):    dx = gamma*inv/M * (M*dy - s_dy - xhat * s_dyx)
+
+with ``xhat = (x - mu) * inv`` recomputed on the fly (cheaper than saving a
+third full tensor).  These kernels implement exactly that: one VMEM-resident
+dual-reduction kernel (both sums in a single read of x and dy) and one
+elementwise apply kernel, each a 1-D grid over row tiles of the
+``[M, C] = [B*H*W, C]`` flattening.  Inputs may be bf16 (halving the HBM
+bill — the dominant cost); all arithmetic accumulates fp32.
+
+``batch_norm_train`` wraps forward + backward in a ``jax.custom_vjp`` with
+BatchNorm semantics matching ``flax.linen.BatchNorm`` (biased variance,
+train mode); gradient equivalence vs plain autodiff is asserted in
+``tests/test_pallas_bn.py``.  Wired into the model via
+``fmri_tpu.models.nets`` when ``ModelConfig.pallas_bn`` is set (reference
+BN usage: ``models/vae_gan.py:22,55`` — BatchNorm2d after every conv).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_tile(m: int, c: int, n_bufs: int, esz: int) -> int:
+    """Largest power-of-two row tile whose ``n_bufs`` double-buffered
+    [tm, C] blocks fit the VMEM budget (lane padding counted: C pads to a
+    multiple of 128)."""
+    c_pad = max(128, -(-c // 128) * 128)
+    per_row = n_bufs * 2 * c_pad * esz
+    tm = max(8, min(m, _VMEM_BUDGET // per_row))
+    while m % tm:
+        tm //= 2
+    return max(tm, 1)
+
+
+def bn_bwd_reduce(x: jax.Array, dy: jax.Array, mu: jax.Array,
+                  inv: jax.Array) -> jax.Array:
+    """Both backward sums in ONE pass over (x, dy): returns [2, C] fp32 with
+    row 0 = sum(dy), row 1 = sum(dy * xhat)."""
+    m, c = x.shape
+    tm = _row_tile(m, c, n_bufs=2, esz=x.dtype.itemsize)
+
+    def kernel(mu_ref, inv_ref, x_ref, dy_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xhat = (x_ref[:].astype(jnp.float32) - mu_ref[:]) * inv_ref[:]
+        dyf = dy_ref[:].astype(jnp.float32)
+        out_ref[0, :] += jnp.sum(dyf, axis=0)
+        out_ref[1, :] += jnp.sum(dyf * xhat, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
+        interpret=_interpret(),
+    )(mu[None], inv[None], x, dy)
+
+
+def bn_bwd_apply(x: jax.Array, dy: jax.Array, mu: jax.Array, inv: jax.Array,
+                 gamma: jax.Array, sums: jax.Array) -> jax.Array:
+    """dx = gamma*inv/M * (M*dy - s_dy - xhat*s_dyx); fp32 out, shape of x."""
+    m, c = x.shape
+    tm = _row_tile(m, c, n_bufs=3, esz=max(x.dtype.itemsize, 4))
+
+    def kernel(mu_ref, inv_ref, coef_ref, sums_ref, x_ref, dy_ref, out_ref):
+        xhat = (x_ref[:].astype(jnp.float32) - mu_ref[:]) * inv_ref[:]
+        dyf = dy_ref[:].astype(jnp.float32)
+        mf = jnp.float32(m)
+        out_ref[:] = coef_ref[:] * (
+            mf * dyf - sums_ref[0, :] - xhat * sums_ref[1, :])
+
+    coef = (gamma * inv / m)[None]
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), jnp.float32),
+        interpret=_interpret(),
+    )(mu[None], inv[None], coef, sums, x, dy)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def batch_norm_train(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                     eps: float = 1e-5):
+    """Train-mode BatchNorm over the leading axes of NHWC ``x`` (biased
+    variance, flax semantics).  Returns (y, mu, var) — callers feed mu/var
+    into the running-stat EMA exactly as with ``flax.linen.BatchNorm``."""
+    red = tuple(range(x.ndim - 1))
+    mu = jnp.mean(x, axis=red)
+    var = jnp.var(x, axis=red)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mu) * inv * gamma + beta
+    return y, mu, var
+
+
+def _bn_fwd(x, gamma, beta, eps):
+    out = batch_norm_train(x, gamma, beta, eps)
+    _, mu, var = out
+    inv = jax.lax.rsqrt(var + eps)
+    return out, (x, gamma, mu, inv)
+
+
+def _bn_bwd(eps, res, cts):
+    x, gamma, mu, inv = res
+    dy = cts[0]  # cotangents of (mu, var) outputs: EMA updates carry no grad
+    shape = x.shape
+    c = shape[-1]
+    x2 = x.reshape(-1, c)
+    dy2 = dy.reshape(-1, c).astype(x2.dtype)
+    sums = bn_bwd_reduce(x2, dy2, mu, inv)
+    dx = bn_bwd_apply(x2, dy2, mu, inv, gamma, sums)
+    dgamma = sums[1]
+    dbeta = sums[0]
+    return dx.reshape(shape).astype(x.dtype), dgamma, dbeta
+
+
+batch_norm_train.defvjp(_bn_fwd, _bn_bwd)

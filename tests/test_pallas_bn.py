@@ -1,0 +1,82 @@
+"""Gradient equivalence of the Pallas BatchNorm backward
+(``fmri_tpu.ops.pallas_bn``) against plain autodiff of the same train-mode
+BN, on the CPU interpret path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fmri_tpu.ops import pallas_bn
+
+
+def _bn_ref(x, gamma, beta, eps=1e-5):
+    red = tuple(range(x.ndim - 1))
+    mu = jnp.mean(x, axis=red)
+    var = jnp.var(x, axis=red)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+@pytest.mark.parametrize("shape", [(4, 6, 6, 8), (32, 16), (3, 5, 7)])
+def test_bn_backward_matches_autodiff(shape):
+    c = shape[-1]
+    k0, k1, k2, k3 = jax.random.split(jax.random.key(0), 4)
+    x = jax.random.normal(k0, shape, jnp.float32) * 2.0 + 0.5
+    gamma = 1.0 + 0.1 * jax.random.normal(k1, (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(k2, (c,), jnp.float32)
+    dy = jax.random.normal(k3, shape, jnp.float32)
+
+    loss_ref = lambda *a: jnp.vdot(_bn_ref(*a), dy)
+    loss_pal = lambda *a: jnp.vdot(pallas_bn.batch_norm_train(*a)[0], dy)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    got = jax.grad(loss_pal, argnums=(0, 1, 2))(x, gamma, beta)
+    for r, g, name in zip(ref, got, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_bn_forward_matches_flax_semantics():
+    """y and the (mu, var) EMA feeds must match flax.linen.BatchNorm's
+    train-mode math (biased variance)."""
+    import flax.linen as nn
+
+    k0 = jax.random.key(5)
+    x = jax.random.normal(k0, (8, 4, 4, 6), jnp.float32)
+    m = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vars_ = m.init(jax.random.key(1), x)
+    y_flax, new_state = m.apply(vars_, x, mutable=["batch_stats"])
+
+    y, mu, var = pallas_bn.batch_norm_train(
+        x, vars_["params"]["scale"], vars_["params"]["bias"], 1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_flax),
+                               rtol=1e-5, atol=1e-5)
+    # flax EMA: new = 0.9 * old + 0.1 * batch_stat (old mean 0, var 1)
+    np.testing.assert_allclose(
+        np.asarray(new_state["batch_stats"]["mean"]),
+        0.1 * np.asarray(mu), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state["batch_stats"]["var"]),
+        0.9 + 0.1 * np.asarray(var), rtol=1e-5, atol=1e-6)
+
+
+def test_bn_backward_second_order_inputs():
+    """The custom backward must be usable under jit and with non-contiguous
+    cotangents (e.g. from a downstream conv)."""
+    k0, k1 = jax.random.split(jax.random.key(9))
+    x = jax.random.normal(k0, (6, 3, 3, 4), jnp.float32)
+    gamma = jnp.ones((4,))
+    beta = jnp.zeros((4,))
+    w = jax.random.normal(k1, (4, 7), jnp.float32) * 0.1
+
+    @jax.jit
+    def loss(xx):
+        y, _, _ = pallas_bn.batch_norm_train(xx, gamma, beta, 1e-5)
+        return jnp.sum(jnp.tanh(y.reshape(-1, 4) @ w) ** 2)
+
+    def loss_ref(xx):
+        y = _bn_ref(xx, gamma, beta)
+        return jnp.sum(jnp.tanh(y.reshape(-1, 4) @ w) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(x)),
+                               np.asarray(jax.grad(loss_ref)(x)),
+                               rtol=2e-4, atol=2e-4)
