@@ -74,6 +74,11 @@ class ModelConfig:
     # backward (docs/design.md §8b).  Gradient equivalence:
     # tests/test_conv_alt.py.
     alt_backward: bool = False
+    # Train-mode BatchNorm backward through the Pallas fused two-pass kernels
+    # (fmri_tpu/ops/pallas_bn.py) instead of XLA's reduce fusions.
+    # Single-device only (see fmri_tpu/models/norm.py); equivalence:
+    # tests/test_pallas_bn.py, tests/test_conv_alt.py step test.
+    pallas_bn: bool = False
 
     @property
     def fc_flat(self) -> int:

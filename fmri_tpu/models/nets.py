@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fmri_tpu.configs.presets import ModelConfig
+from fmri_tpu.models.norm import BatchNorm
 from fmri_tpu.ops.conv import conv2d, conv2d_transpose
 
 # torch BatchNorm(momentum=0.9) => running = 0.1*running + 0.9*batch
@@ -68,6 +69,7 @@ class EncoderBlock(nn.Module):
     compute_dtype: str | None = None
     pallas_backward: bool = False
     alt_backward: bool = False
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, tap: bool = False):
@@ -80,8 +82,9 @@ class EncoderBlock(nn.Module):
                    pallas_backward=self.pallas_backward,
                    alt_backward=self.alt_backward)
         pre_bn = y
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        y = BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, pallas=self.pallas_bn
         )(y)
         y = nn.relu(y)
         if tap:
@@ -103,6 +106,7 @@ class DecoderBlock(nn.Module):
     padding: int = 2
     compute_dtype: str | None = None
     pallas_backward: bool = False
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -116,8 +120,9 @@ class DecoderBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             pallas_backward=self.pallas_backward,
         )
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        y = BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, pallas=self.pallas_bn
         )(y)
         return nn.relu(y)
 
@@ -133,7 +138,7 @@ class VisualEncoder(nn.Module):
         for feats in c.encoder_channels:
             x = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
                              c.compute_dtype, c.pallas_backward,
-                             c.alt_backward)(x, train=train)
+                             c.alt_backward, c.pallas_bn)(x, train=train)
         x = x.reshape((x.shape[0], -1))
         x = _dense(c.fc_output, c, use_bias=False)(x).astype(jnp.float32)
         x = nn.BatchNorm(
@@ -194,7 +199,8 @@ class Decoder(nn.Module):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
                              stride=c.stride, padding=c.padding,
                              compute_dtype=c.compute_dtype,
-                             pallas_backward=c.pallas_backward)(x, train=train)
+                             pallas_backward=c.pallas_backward,
+                             pallas_bn=c.pallas_bn)(x, train=train)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
@@ -232,7 +238,7 @@ class ImageDiscriminator(nn.Module):
         for i, feats in enumerate(c.discrim_channels[1:], start=1):
             block = EncoderBlock(feats, c.kernel_size, c.stride, c.padding,
                                  c.compute_dtype, c.pallas_backward,
-                                 c.alt_backward)
+                                 c.alt_backward, c.pallas_bn)
             if i == c.recon_level:
                 x, pre_bn = block(x, train=train, tap=True)
                 features = pre_bn.reshape((pre_bn.shape[0], -1))
@@ -297,7 +303,8 @@ class VoxelDecoder(nn.Module):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
                              stride=c.stride, padding=c.padding,
                              compute_dtype=c.compute_dtype,
-                             pallas_backward=c.pallas_backward)(x, train=train)
+                             pallas_backward=c.pallas_backward,
+                             pallas_bn=c.pallas_bn)(x, train=train)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))
@@ -329,7 +336,8 @@ class WaeDecoder(nn.Module):
             x = DecoderBlock(f, output_pad=op, kernel_size=c.kernel_size,
                              stride=c.stride, padding=c.padding,
                              compute_dtype=c.compute_dtype,
-                             pallas_backward=c.pallas_backward)(x, train=train)
+                             pallas_backward=c.pallas_backward,
+                             pallas_bn=c.pallas_bn)(x, train=train)
         kernel = self.param("out_kernel", ref_uniform_init, (5, 5, x.shape[-1], 3))
         bias = self.param("out_bias", nn.initializers.zeros, (3,))
         x = conv2d(x, kernel, stride=1, padding=2,

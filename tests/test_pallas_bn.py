@@ -59,6 +59,47 @@ def test_bn_forward_matches_flax_semantics():
         0.9 + 0.1 * np.asarray(var), rtol=1e-5, atol=1e-6)
 
 
+def test_vgan_stage1_step_pallas_bn_equivalence():
+    """Full Stage-I train step: flipping ``ModelConfig.pallas_bn`` must not
+    change losses, updated params, or BN running stats — the Pallas path only
+    re-implements the train-mode BN forward/backward math."""
+    import dataclasses
+
+    from fmri_tpu.configs import TINY
+    from fmri_tpu.train import (
+        RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
+    )
+
+    results = {}
+    for pbn in (False, True):
+        cfg = dataclasses.replace(
+            TINY, model=dataclasses.replace(TINY.model, pallas_bn=pbn))
+        groups = init_vaegan(jax.random.key(0), cfg)
+        g = {k: {"params": groups["params"][k],
+                 "batch_stats": groups["batch_stats"][k]}
+             for k in groups["params"]}
+        x = jax.random.uniform(
+            jax.random.key(1),
+            (8, cfg.model.image_size, cfg.model.image_size, 3),
+            minval=-1.0, maxval=1.0)
+        step = make_vgan_stage1_step(cfg, "vae-gan", donate=False)
+        state = make_state(g, {k: RmsProp() for k in g})
+        results[pbn] = step.train_step(
+            state, x, jax.random.key(2), jnp.float32(0.35),
+            jnp.float32(0.68), jnp.float32(0.3))
+
+    (s_ref, m_ref), (s_pal, m_pal) = results[False], results[True]
+    for k in m_ref:
+        np.testing.assert_allclose(float(np.asarray(m_ref[k])),
+                                   float(np.asarray(m_pal[k])),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+    for tree in ("params", "batch_stats"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(s_ref, tree)),
+                        jax.tree_util.tree_leaves(getattr(s_pal, tree))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5, err_msg=tree)
+
+
 def test_bn_backward_second_order_inputs():
     """The custom backward must be usable under jit and with non-contiguous
     cotangents (e.g. from a downstream conv)."""
