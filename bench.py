@@ -59,6 +59,25 @@ def _time_steps(run_step, sync_metric: str, batch: int,
     return batch * iters / (time.perf_counter() - t0)
 
 
+def _apply_variant(cfg):
+    """FMRI_TPU_BENCH_VARIANT: comma/plus-joined model-config experiment
+    toggles — 'alt' (conv_alt backward rewrites), 'pbn' (Pallas BatchNorm
+    backward).  Gradient-equivalent paths; lets the step-level effect of each
+    be measured with no code change."""
+    import dataclasses
+
+    var = os.environ.get("FMRI_TPU_BENCH_VARIANT", "")
+    kw = {}
+    if "alt" in var:
+        kw["alt_backward"] = True
+    if "pbn" in var:
+        kw["pallas_bn"] = True
+    if kw:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **kw))
+    return cfg
+
+
 def _vgan_stage1(preset: str) -> float:
     import jax
     import jax.numpy as jnp
@@ -68,7 +87,7 @@ def _vgan_stage1(preset: str) -> float:
         RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
     )
 
-    cfg = get_config(preset)
+    cfg = _apply_variant(get_config(preset))
     c = cfg.model
     step = make_vgan_stage1_step(cfg, "vae-gan", donate=True)
     groups = init_vaegan(jax.random.key(0), cfg)
