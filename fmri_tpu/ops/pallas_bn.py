@@ -42,13 +42,18 @@ def _interpret() -> bool:
 def _row_tile(m: int, c: int, n_bufs: int, esz: int) -> int:
     """Largest power-of-two row tile whose ``n_bufs`` double-buffered
     [tm, C] blocks fit the VMEM budget (lane padding counted: C pads to a
-    multiple of 128)."""
+    multiple of 128).  Mosaic requires the sublane block dim be a multiple
+    of 8 or the full array — so the cap is rounded DOWN to a power of two
+    before the divisibility walk (the raw cap can carry odd factors that a
+    power-of-two m never sheds), and if no tile >=8 divides m the whole
+    array becomes one block."""
     c_pad = max(128, -(-c // 128) * 128)
     per_row = n_bufs * 2 * c_pad * esz
-    tm = max(8, min(m, _VMEM_BUDGET // per_row))
-    while m % tm:
+    cap = max(8, min(m, _VMEM_BUDGET // per_row))
+    tm = 1 << (cap.bit_length() - 1)
+    while m % tm and tm > 8:
         tm //= 2
-    return max(tm, 1)
+    return tm if tm >= 8 and m % tm == 0 else m
 
 
 def bn_bwd_reduce(x: jax.Array, dy: jax.Array, mu: jax.Array,
