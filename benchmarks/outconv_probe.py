@@ -134,6 +134,45 @@ def main():
     row("dW patches-prim", lambda _, xx, d: dw_patches_prim(xx, d), x, dy,
         flops=fl, nbytes=xbytes)
 
+    # D: traffic hypothesis — the ~1.5 ms wall-time floor tracks HBM bytes
+    # (fp32 source + materialized bf16 cast copy), not MXU rate.  Vary the
+    # residency/cast story with the co-pad trick on top.
+    def fwd_f32(xx, ww):
+        return lax.conv_general_dilated(xx, ww, (1, 1), [(P, P)] * 2,
+                                        dimension_numbers=DIM)
+
+    row("fwd fp32 nocast", lambda _, xx, ww: fwd_f32(xx, ww), x, w,
+        flops=fl, nbytes=x.size * 4)
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    dyb = dy.astype(jnp.bfloat16)
+    row("fwd bf16-resident", lambda _, xx, ww: fwd_f32(xx, ww), xb, wb,
+        flops=fl, nbytes=x.size * 2)
+
+    def fwd_res_pad(xx, ww, co_pad):
+        wp = jnp.pad(ww, ((0, 0),) * 3 + ((0, co_pad - CO),))
+        return fwd_f32(xx, wp)[..., :CO]
+
+    for cp in (8, 32):
+        row(f"fwd bf16-res co={cp}",
+            lambda _, xx, ww, c=cp: fwd_res_pad(xx, ww, c), xb, wb,
+            flops=fl * cp / CO, nbytes=x.size * 2)
+
+    def dw_res(xx, d, co_pad):
+        dp = jnp.pad(d, ((0, 0),) * 3 + ((0, co_pad - CO),)) if co_pad else d
+        co = co_pad or CO
+        _, vjp = jax.vjp(
+            lambda ww: fwd_f32(xx, ww), jnp.zeros((K, K, CI, co), xx.dtype))
+        out = vjp(dp)[0]
+        return out[..., :CO] if co_pad else out
+
+    row("dW bf16-resident", lambda _, xx, d: dw_res(xx, d, 0), xb, dyb,
+        flops=fl, nbytes=x.size * 2)
+    for cp in (8, 16, 32):
+        row(f"dW bf16-res co={cp}",
+            lambda _, xx, d, c=cp: dw_res(xx, d, c), xb, dyb,
+            flops=fl * cp / CO, nbytes=x.size * 2)
+
 
 if __name__ == "__main__":
     main()
