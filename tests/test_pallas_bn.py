@@ -121,3 +121,20 @@ def test_bn_backward_second_order_inputs():
     np.testing.assert_allclose(np.asarray(jax.grad(loss)(x)),
                                np.asarray(jax.grad(loss_ref)(x)),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("m", [8, 24, 64, 5000, 10000, 256 * 64 * 64,
+                               100 * 100 * 64, 7, 12])
+@pytest.mark.parametrize("c", [3, 64, 128, 256])
+def test_row_tile_mosaic_invariants(m, c):
+    """The tile picker must always satisfy Mosaic's block rules — a tile
+    violating them only fails at TPU lowering time, which the CPU interpret
+    tests never reach (this exact escape shipped a (1, 64) block in round 2:
+    the VMEM cap carried a factor 3 that a power-of-two m never sheds)."""
+    for n_bufs, esz in ((2, 2), (2, 4), (3, 4)):
+        tm = pallas_bn._row_tile(m, c, n_bufs=n_bufs, esz=esz)
+        assert m % tm == 0, (m, c, tm)
+        assert tm % 8 == 0 or tm == m, (m, c, tm)
+        if tm != m:
+            c_pad = max(128, -(-c // 128) * 128)
+            assert n_bufs * 2 * c_pad * esz * tm <= pallas_bn._VMEM_BUDGET
