@@ -226,8 +226,18 @@ def main() -> None:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SUITE.json")
+    # merge over the existing file: a FAST (flagship-only) run must not
+    # clobber the other configs' machine-captured rows
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
         f.write("\n")
 
 

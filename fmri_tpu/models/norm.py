@@ -44,6 +44,14 @@ class BatchNorm(nn.BatchNorm):
             # with the constructor field itself and rejects doubled passing.
             return super().__call__(x, use_running_average=use_running_average)
 
+        if (not self.use_scale or not self.use_bias or self.axis != -1
+                or self.axis_name is not None):
+            raise ValueError(
+                "BatchNorm(pallas=True) supports only the flax defaults "
+                "use_scale=use_bias=True, axis=-1, axis_name=None — got "
+                f"use_scale={self.use_scale} use_bias={self.use_bias} "
+                f"axis={self.axis} axis_name={self.axis_name}. Silently "
+                "ignoring these would diverge from the pallas=False path.")
         c = x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,),
                            self.param_dtype)

@@ -54,9 +54,14 @@ def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0,
     effect only where a rewrite exists, and ``pallas_backward`` wins if both
     are set.  Gradient equivalence: ``tests/test_conv_alt.py``.
     """
-    if pallas_backward:
-        return _conv2d_pdw(x, kernel, stride, padding, _dtype_key(compute_dtype))
     k, co = kernel.shape[0], kernel.shape[-1]
+    # pallas_dw supports stride 1 (any k/p) and the k5/p2 stride-2 geometry;
+    # anything else falls back to the stock backward (same contract as
+    # alt_backward below — flipping a ModelConfig flag must never crash an
+    # out-of-scope layer).
+    if pallas_backward and (stride == 1
+                            or (stride == 2 and k == 5 and padding == 2)):
+        return _conv2d_pdw(x, kernel, stride, padding, _dtype_key(compute_dtype))
     # The phase rewrite needs exact spatial halving (even H/W — res100's odd
     # 25x25 layer falls back to the stock backward).
     even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
@@ -161,7 +166,10 @@ def conv2d_transpose(
     (``_deconv``) performs the 180-degree spatial rotation once at conversion
     time, so adding a flip in this op would silently break import parity.
     """
-    if pallas_backward:
+    # pallas_dw's deconv dW derivation is specific to the k5/p2/s2 scatter
+    # geometry; other geometries take the stock backward (see conv2d).
+    if pallas_backward and (stride == 2 and padding == 2
+                            and kernel.shape[0] == 5):
         return _deconv_pdw(x, kernel, stride, padding, output_padding,
                            _dtype_key(compute_dtype))
     k = kernel.shape[0]

@@ -128,8 +128,12 @@ def conv2d_dw(x: jax.Array, dy: jax.Array, stride: int, padding: int,
     _, oh, ow, co = dy.shape
     if stride == 1:
         # single plane, padded by `padding` both sides; tap start = (kh, kw)
-        xp = jnp.pad(x, ((0, 0), (padding, padding + (oh + k - 1 - h - padding)),
-                         (padding, padding + (ow + k - 1 - w - padding)),
+        # taps read rows [kh, kh+oh) with kh <= k-1, so the plane needs
+        # exactly oh+k-1 rows: high pad = oh+k-1-h-padding (NOT +padding —
+        # that over-allocates p zero rows/cols per plane and inflates the
+        # _pick_tb VMEM estimate)
+        xp = jnp.pad(x, ((0, 0), (padding, oh + k - 1 - h - padding),
+                         (padding, ow + k - 1 - w - padding),
                          (0, 0)))
         planes = xp[None]
         taps = tuple((0, 0, kh, kw) for kh in range(k) for kw in range(k))

@@ -133,8 +133,77 @@ def test_row_tile_mosaic_invariants(m, c):
     the VMEM cap carried a factor 3 that a power-of-two m never sheds)."""
     for n_bufs, esz in ((2, 2), (2, 4), (3, 4)):
         tm = pallas_bn._row_tile(m, c, n_bufs=n_bufs, esz=esz)
+        c_pad = max(128, -(-c // 128) * 128)
+        per_row = n_bufs * 2 * c_pad * esz
+        if tm is None:
+            # None only when genuinely untileable: nothing >=8 divides m
+            # AND the whole array overflows VMEM
+            assert m % 8 or all(m % t for t in (8, 16, 32, 64)) or \
+                m * per_row // 2 > pallas_bn._VMEM_BUDGET
+            continue
         assert m % tm == 0, (m, c, tm)
         assert tm % 8 == 0 or tm == m, (m, c, tm)
-        if tm != m:
-            c_pad = max(128, -(-c // 128) * 128)
-            assert n_bufs * 2 * c_pad * esz * tm <= pallas_bn._VMEM_BUDGET
+        limit = pallas_bn._VMEM_BUDGET if tm != m else None
+        if limit is not None:
+            assert per_row * tm <= limit
+        else:
+            assert m * per_row // 2 <= pallas_bn._VMEM_BUDGET
+
+
+def test_row_tile_untileable_geometry_falls_back():
+    """m=62500 (reference res100 batch 100 at the 25x25 layer) has no
+    multiple-of-8 divisor and overflows VMEM as one block: the backward must
+    take the XLA fallback (and still be correct) instead of emitting a
+    block Mosaic rejects."""
+    assert pallas_bn._row_tile(62500, 64, n_bufs=2, esz=4) is None
+    k0, k1 = jax.random.split(jax.random.key(3))
+    # m = 100*25*25 = 62500: no multiple-of-8 divisor, > VMEM as one block
+    x = jax.random.normal(k0, (100, 25, 25, 4), jnp.float32)
+    dy = jax.random.normal(k1, x.shape, jnp.float32)
+    gamma, beta = jnp.ones((4,)), jnp.zeros((4,))
+    loss_ref = lambda *a: jnp.vdot(_bn_ref(*a), dy)
+    loss_pal = lambda *a: jnp.vdot(pallas_bn.batch_norm_train(*a)[0], dy)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    got = jax.grad(loss_pal, argnums=(0, 1, 2))(x, gamma, beta)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mu_var_cotangents_flow():
+    """Losses that differentiate through the returned (mu, var) — e.g. a
+    stats-matching regularizer — must get those contributions in dx."""
+    k0, k1 = jax.random.split(jax.random.key(5))
+    x = jax.random.normal(k0, (16, 4, 4, 8), jnp.float32)
+    t = jax.random.normal(k1, (8,), jnp.float32)
+    gamma, beta = jnp.ones((8,)), jnp.zeros((8,))
+
+    def loss_pal(xx):
+        y, mu, var = pallas_bn.batch_norm_train(xx, gamma, beta, 1e-5)
+        return jnp.sum(y ** 2) + jnp.vdot(mu, t) + jnp.sum((var - 1.0) ** 2)
+
+    def loss_ref(xx):
+        red = (0, 1, 2)
+        mu = jnp.mean(xx, axis=red)
+        var = jnp.var(xx, axis=red)
+        y = (xx - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        return jnp.sum(y ** 2) + jnp.vdot(mu, t) + jnp.sum((var - 1.0) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_pal)(x)),
+                               np.asarray(jax.grad(loss_ref)(x)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_input_stats_accumulate_fp32():
+    """bf16 inputs must not degrade mu/var: flax promotes before reducing."""
+    x = (jax.random.normal(jax.random.key(7), (2048, 8), jnp.float32)
+         + 10.0)
+    xb = x.astype(jnp.bfloat16)
+    _, mu, var = pallas_bn.batch_norm_train(xb, jnp.ones((8,)),
+                                            jnp.zeros((8,)), 1e-5)
+    mu_ref = jnp.mean(xb.astype(jnp.float32), axis=0)
+    var_ref = jnp.var(xb.astype(jnp.float32), axis=0)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-5, atol=1e-5)
