@@ -184,6 +184,49 @@ def _vgan_stage2(preset: str) -> float:
     return _time_steps(run, "loss_encoder", BATCH)
 
 
+def _inference_stage3(preset: str) -> float:
+    """Serving path: the stage-3 fMRI->image eval step (CognitiveEncoder ->
+    Decoder forward, no grads) — the op the reference's ``inference_gan.py``
+    loops (``inference/inference_gan.py:269-307``)."""
+    import jax
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.train import (
+        RmsProp, init_cognitive, init_vaegan, make_state,
+        make_vgan_cognitive_step,
+    )
+
+    cfg = get_config(preset)
+    c = cfg.model
+    step = make_vgan_cognitive_step(cfg, stage=3, donate=False)
+    ks = jax.random.split(jax.random.key(0), 2)
+    vg = init_vaegan(ks[0], cfg)
+    cog = init_cognitive(ks[1], cfg)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "discriminator": {"params": vg["params"]["discriminator"],
+                          "batch_stats": vg["batch_stats"]["discriminator"]},
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+    }
+    state = make_state(groups, {"decoder": RmsProp(clip=1.0)})
+    batch = {
+        "fmri": jax.random.normal(jax.random.key(1), (BATCH, c.num_voxels)),
+        "image": jax.random.uniform(
+            jax.random.key(2), (BATCH, c.image_size, c.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+    _prebuilt_keys(1)
+
+    def run(i):
+        recon = step.eval_step(state, batch, None)
+        return {"sync": recon[0, 0, 0, 0]}
+
+    return _time_steps(run, "sync", BATCH)
+
+
 # (name, measure fn, preset) — flagship FIRST: its JSON line is the driver
 # contract and must land on stdout even if a later config fails.
 SUITE = [
@@ -192,6 +235,7 @@ SUITE = [
     ("stage1_wae_res64", _wae_stage1, "res64"),
     ("stage1_vgan_res100_bf16", _vgan_stage1, "res100-bf16"),
     ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
+    ("inference_stage3_res64_bf16", _inference_stage3, "res64-bf16"),
 ]
 
 
