@@ -186,3 +186,35 @@ def test_conv2d_dw_bf16_operands_close_to_fp32():
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.03, atol=0.05)
+
+
+@pytest.mark.parametrize("shape,stride,padding,k", [
+    ((2, 8, 8, 4), 2, 1, 3),   # stride-2 but not the k5/p2 geometry
+    ((2, 9, 9, 4), 2, 2, 5),   # odd spatial
+])
+def test_pallas_backward_out_of_scope_geometry_falls_back(
+        shape, stride, padding, k):
+    """Flipping pallas_backward must never crash an out-of-scope layer —
+    conv2d gates on the supported (stride, k, padding) geometry and falls
+    back to the stock XLA backward (same contract as alt_backward)."""
+    k0, k1 = jax.random.split(jax.random.key(11))
+    x = _rand(k0, shape)
+    w = _rand(k1, (k, k, shape[-1], 6)) * 0.1
+    g_ref = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
+        x, ww, stride=stride, padding=padding) ** 2))(w)
+    g_pal = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
+        x, ww, stride=stride, padding=padding, pallas_backward=True) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deconv_pallas_backward_out_of_scope_geometry_falls_back():
+    k0, k1 = jax.random.split(jax.random.key(12))
+    x = _rand(k0, (2, 5, 5, 4))
+    w = _rand(k1, (4, 4, 4, 6)) * 0.1  # k=4: not the k5/p2/s2 geometry
+    g_ref = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d_transpose(
+        x, ww, stride=2, padding=1) ** 2))(w)
+    g_pal = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d_transpose(
+        x, ww, stride=2, padding=1, pallas_backward=True) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
