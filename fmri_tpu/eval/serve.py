@@ -1,0 +1,439 @@
+"""Online serving for fMRI->image reconstruction (production inference).
+
+The reference's inference surface is an offline batch script
+(``inference/inference_gan.py``); this module is the framework's
+deployment-grade counterpart — a persistent server that turns a trained
+cognitive checkpoint into a low-latency fMRI->image service.
+
+TPU-native serving design:
+
+  * **Static-shape bucketed batching.** XLA compiles one program per batch
+    bucket (powers of two up to ``--max-batch``); a request batch is padded
+    up to the nearest bucket, so steady-state serving never recompiles.
+    Padding is exact: the eval path uses running BatchNorm statistics
+    (``steps_vgan.py: eval_step``), so pad rows cannot perturb real rows.
+  * **Dynamic microbatching.** One batcher thread coalesces concurrent
+    requests until the largest bucket fills or ``--max-wait-ms`` elapses
+    after the first queued request — the standard latency/throughput knob.
+  * **Async dispatch, host-pull sync.** The batcher enqueues the XLA program
+    and synchronizes completion by materializing the result on host (on the
+    tunneled axon platform ``block_until_ready`` returns early; see
+    CLAUDE.md), so reported latencies are honest.
+  * **Transports.** In-process Python API (``BatchingServer.submit`` ->
+    ``Future``) and a newline-delimited-JSON socket protocol (Unix domain or
+    TCP); images return as base64 raw uint8 + shape.
+
+Protocol (one JSON object per line, both directions)::
+
+    {"id": 7, "fmri": [ ... num_voxels floats ... ]}
+      -> {"id": 7, "shape": [H, W, 3], "dtype": "uint8", "data": "<base64>"}
+    {"cmd": "stats"}  -> {"requests": n, "batches": n, "occupancy": f,
+                          "latency_ms": {"p50": f, "p95": f, "p99": f}, ...}
+    {"cmd": "ping"}   -> {"ok": true}
+
+Stage-1 checkpoints (image->image autoencoding) are also servable: the
+request key becomes ``"image"`` with a flat HWC float list in [0, 1].
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import queue
+import socketserver
+import sys
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+
+def _apply_platform_override() -> None:
+    plat = os.environ.get("FMRI_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass
+
+
+def batch_buckets(max_batch: int, min_bucket: int = 1) -> List[int]:
+    """Power-of-two bucket ladder ending exactly at ``max_batch``."""
+    if max_batch < 1:
+        raise ValueError("max_batch must be >= 1")
+    out, b = [], max(1, min_bucket)
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return sorted(set(out))
+
+
+class ServingModel:
+    """A loaded checkpoint + jitted eval path with bucketed static shapes.
+
+    ``reconstruct`` accepts any [N, ...] request batch: it is chunked to
+    ``max_batch``, each chunk zero-padded up to the nearest bucket, and the
+    results sliced back — the compiled-program set stays fixed at
+    ``len(buckets)`` for the server's lifetime.
+    """
+
+    def __init__(self, family: str, stage: int, cfg, state, *,
+                 max_batch: int = 64, sample: bool = False, seed: int = 0,
+                 mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        from fmri_tpu.data.transforms import denormalize, eval_preprocess
+        from fmri_tpu.eval.inference import make_eval_step
+
+        self.cfg = cfg
+        self.family, self.stage = family, stage
+        step, self.data_kind = make_eval_step(family, stage, cfg)
+        self.max_batch = int(max_batch)
+        self.mesh = mesh
+        if mesh is None:
+            self.buckets = batch_buckets(self.max_batch)
+            self.state = state
+        else:
+            # Data-parallel serving: every bucket is a multiple of the mesh's
+            # device count so the batch axis shards evenly; params replicate,
+            # XLA SPMD-partitions the compiled program.
+            from fmri_tpu.parallel.mesh import shard_state
+
+            ndev = int(mesh.devices.size)
+            if self.max_batch % ndev:
+                raise ValueError(
+                    f"max_batch={max_batch} not divisible by the "
+                    f"{ndev}-device mesh")
+            self.buckets = [b * ndev
+                            for b in batch_buckets(self.max_batch // ndev)]
+            self.state = shard_state(state, mesh)
+        mean, std = cfg.data.mean, cfg.data.std
+
+        def pipeline(st, x, rng):
+            if self.data_kind == "image":
+                x = eval_preprocess(x, mean, std)
+            out = step(st, x, rng)
+            return jnp.clip(denormalize(out, mean, std), 0.0, 1.0)
+
+        # One compiled program per (bucket, rng-presence); preprocess,
+        # decode, denormalize and clip all fuse into it — no eager ops on
+        # the serving path (the tunneled TPU platform pays ~10s per eager
+        # op's first execution, CLAUDE.md).
+        self._pipeline = jax.jit(pipeline)
+        self._mean, self._std = mean, std
+        self._rng = jax.random.key(seed) if sample else None
+        self._lock = threading.Lock()   # jitted call + rng threading
+
+    # -- shapes ------------------------------------------------------------
+
+    def sample_shape(self) -> tuple:
+        """Per-request input shape (no batch dim)."""
+        if self.data_kind == "pair":
+            return (self.cfg.model.num_voxels,)
+        s = self.cfg.model.image_size
+        return (s, s, 3)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    # -- compute -----------------------------------------------------------
+
+    def _run(self, x):
+        """One fixed-shape padded batch -> host float images in [0, 1]."""
+        import jax
+        import numpy as np
+
+        if self.mesh is None:
+            inp = jax.numpy.asarray(x)
+        else:
+            from fmri_tpu.parallel.mesh import shard_batch
+
+            inp = shard_batch(np.asarray(x), self.mesh)
+        rng = None
+        if self._rng is not None:
+            self._rng, rng = jax.random.split(self._rng)
+        # np.asarray is the completion sync (host pull).
+        return np.asarray(self._pipeline(self.state, inp, rng))
+
+    def warmup(self) -> None:
+        """Compile every bucket before traffic arrives."""
+        import numpy as np
+
+        shape = self.sample_shape()
+        for b in self.buckets:
+            self._run(np.zeros((b, *shape), np.float32))
+
+    def reconstruct(self, x) -> "np.ndarray":
+        """[N, ...] request batch (or a single sample) -> [N, H, W, 3]."""
+        import numpy as np
+
+        x = np.asarray(x, np.float32)
+        single = x.ndim == len(self.sample_shape())
+        if single:
+            x = x[None]
+        outs = []
+        with self._lock:
+            for lo in range(0, len(x), self.max_batch):
+                chunk = x[lo:lo + self.max_batch]
+                n = len(chunk)
+                b = self._bucket_for(n)
+                if b > n:
+                    pad = np.zeros((b - n, *chunk.shape[1:]), chunk.dtype)
+                    chunk = np.concatenate([chunk, pad])
+                outs.append(self._run(chunk)[:n])
+        out = np.concatenate(outs)
+        return out[0] if single else out
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, family: str, stage: int,
+                        preset: str = "res64", *, epoch: Optional[int] = None,
+                        **kw) -> "ServingModel":
+        from fmri_tpu.checkpoints.store import load_eval_state
+        from fmri_tpu.configs import get_config
+
+        cfg = get_config(preset)
+        state, _meta = load_eval_state(ckpt_dir, epoch=epoch)
+        return cls(family, stage, cfg, state, **kw)
+
+
+class BatchingServer:
+    """Dynamic microbatcher over a :class:`ServingModel`.
+
+    ``submit`` enqueues one sample and returns a ``Future``; a single worker
+    thread drains the queue into padded bucket batches (full bucket or
+    ``max_wait_ms`` after the first queued request, whichever first) and
+    resolves the futures with per-sample images.
+    """
+
+    _LAT_WINDOW = 2048
+
+    def __init__(self, model: ServingModel, *, max_wait_ms: float = 5.0):
+        self.model = model
+        self.max_wait = max(0.0, float(max_wait_ms)) / 1e3
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._stop = threading.Event()
+        self._slock = threading.Lock()
+        self._requests = 0
+        self._batches = 0
+        self._occupancy_sum = 0.0
+        self._lat_ms: List[float] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="fmri-tpu-batcher")
+        self._thread.start()
+
+    def submit(self, x) -> Future:
+        import numpy as np
+
+        x = np.asarray(x, np.float32)
+        want = self.model.sample_shape()
+        if x.shape != want:
+            raise ValueError(f"sample shape {x.shape} != expected {want}")
+        fut: Future = Future()
+        self._q.put((x, fut, time.monotonic()))
+        return fut
+
+    def _loop(self) -> None:
+        import numpy as np
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.model.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            xs = np.stack([b[0] for b in batch])
+            try:
+                ys = self.model.reconstruct(xs)
+            except Exception as exc:  # resolve every waiter, keep serving
+                for _, fut, _ in batch:
+                    if not fut.cancelled():
+                        fut.set_exception(exc)
+                continue
+            done = time.monotonic()
+            with self._slock:
+                self._requests += len(batch)
+                self._batches += 1
+                self._occupancy_sum += len(batch) / self.model._bucket_for(
+                    len(batch))
+                for _, _, t0 in batch:
+                    self._lat_ms.append((done - t0) * 1e3)
+                del self._lat_ms[:-self._LAT_WINDOW]
+            for i, (_, fut, _) in enumerate(batch):
+                if not fut.cancelled():
+                    fut.set_result(ys[i])
+
+    def stats(self) -> Dict:
+        import numpy as np
+
+        with self._slock:
+            lat = np.asarray(self._lat_ms, np.float64)
+            out = {
+                "requests": self._requests,
+                "batches": self._batches,
+                "occupancy": (self._occupancy_sum / self._batches
+                              if self._batches else 0.0),
+                "buckets": self.model.buckets,
+                "max_wait_ms": self.max_wait * 1e3,
+            }
+        if len(lat):
+            out["latency_ms"] = {
+                "p50": float(np.percentile(lat, 50)),
+                "p95": float(np.percentile(lat, 95)),
+                "p99": float(np.percentile(lat, 99)),
+                "mean": float(lat.mean()),
+            }
+        return out
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+# --------------------------- socket transport ---------------------------
+
+
+def _encode_image(img) -> Dict:
+    import numpy as np
+
+    u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return {"shape": list(u8.shape), "dtype": "uint8",
+            "data": base64.b64encode(u8.tobytes()).decode("ascii")}
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        import numpy as np
+
+        batcher: BatchingServer = self.server.batcher  # type: ignore[attr-defined]
+        for line in self.rfile:
+            line = line.strip()
+            if not line:
+                continue
+            req = None
+            try:
+                req = json.loads(line)
+                if req.get("cmd") == "stats":
+                    resp = batcher.stats()
+                elif req.get("cmd") == "ping":
+                    resp = {"ok": True}
+                else:
+                    key = ("fmri" if batcher.model.data_kind == "pair"
+                           else "image")
+                    x = np.asarray(req[key], np.float32).reshape(
+                        batcher.model.sample_shape())
+                    img = batcher.submit(x).result(timeout=60)
+                    resp = {"id": req.get("id"), **_encode_image(img)}
+            except Exception as exc:
+                resp = {"id": req.get("id") if isinstance(req, dict) else None,
+                        "error": f"{type(exc).__name__}: {exc}"}
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+
+
+class _ThreadingTCP(socketserver.ThreadingMixIn, socketserver.TCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+if hasattr(socketserver, "UnixStreamServer"):
+    class _ThreadingUnix(socketserver.ThreadingMixIn,
+                         socketserver.UnixStreamServer):
+        daemon_threads = True
+
+
+def make_socket_server(batcher: BatchingServer, *,
+                       unix_path: Optional[str] = None,
+                       host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) the threaded socket server; ``.server_address`` has
+    the bound address (useful with port=0)."""
+    if unix_path:
+        if os.path.exists(unix_path):
+            os.unlink(unix_path)
+        srv = _ThreadingUnix(unix_path, _Handler)
+    else:
+        srv = _ThreadingTCP((host, port), _Handler)
+    srv.batcher = batcher  # type: ignore[attr-defined]
+    return srv
+
+
+# --------------------------- CLI ---------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--family", choices=["vgan", "wae", "wae-vgan"],
+                   default="vgan")
+    p.add_argument("--stage", type=int, choices=[1, 2, 3], default=3)
+    p.add_argument("--preset", default="res64")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--load-epoch", type=int, default=None)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--sample", action="store_true",
+                   help="reparameterize instead of decoding the mean latent")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard every bucket over a data mesh spanning all "
+                        "local devices (throughput-scale serving)")
+    p.add_argument("--unix-socket", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7717)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _apply_platform_override()
+
+    mesh = None
+    if args.data_parallel:
+        from fmri_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    model = ServingModel.from_checkpoint(
+        args.ckpt, args.family, args.stage, args.preset,
+        epoch=args.load_epoch, max_batch=args.max_batch,
+        sample=args.sample, seed=args.seed, mesh=mesh)
+    if not args.no_warmup:
+        t0 = time.monotonic()
+        model.warmup()
+        print(f"warmup: {len(model.buckets)} buckets compiled in "
+              f"{time.monotonic() - t0:.1f}s", flush=True)
+    batcher = BatchingServer(model, max_wait_ms=args.max_wait_ms)
+    srv = make_socket_server(batcher, unix_path=args.unix_socket,
+                             host=args.host, port=args.port)
+    where = args.unix_socket or "%s:%d" % srv.server_address[:2]
+    print(f"serving {args.family} stage {args.stage} ({args.preset}) on "
+          f"{where}", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        batcher.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

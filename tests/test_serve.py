@@ -1,0 +1,195 @@
+"""Serving subsystem tests (fmri_tpu/eval/serve.py).
+
+Covers the bucketed static-shape batching (padding exactness, chunking),
+the dynamic microbatcher (futures, stats), the NDJSON socket protocol, and
+the CLI entry point — all on the tiny preset, CPU backend (conftest).
+"""
+
+import base64
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+from fmri_tpu.configs import get_config
+from fmri_tpu.eval.serve import (
+    BatchingServer, ServingModel, batch_buckets, make_socket_server,
+)
+
+
+def test_batch_buckets():
+    assert batch_buckets(1) == [1]
+    assert batch_buckets(8) == [1, 2, 4, 8]
+    assert batch_buckets(12) == [1, 2, 4, 8, 12]
+    with pytest.raises(ValueError):
+        batch_buckets(0)
+
+
+@pytest.fixture(scope="module")
+def stage2_ckpt(tmp_path_factory):
+    """A tiny vgan stage-2 state saved as a checkpoint (fresh cognitive
+    encoder grafted onto a fresh stage-1 triplet — weights untrained; serving
+    only needs the graph + shapes)."""
+    from fmri_tpu.checkpoints.store import save_checkpoint
+    from fmri_tpu.train import stages
+
+    cfg = get_config("tiny")
+    d1 = str(tmp_path_factory.mktemp("serve_s1") / "ckpt")
+    state1, _, _ = stages.vgan_stage1(cfg, steps_per_epoch=1, donate=False)
+    save_checkpoint(d1, 0, state1)
+    d2 = str(tmp_path_factory.mktemp("serve_s2") / "ckpt")
+    state2, _, _ = stages.vgan_stage2(cfg, d1, steps_per_epoch=1, donate=False)
+    save_checkpoint(d2, 0, state2)
+    return d2, cfg
+
+
+@pytest.fixture(scope="module")
+def model(stage2_ckpt):
+    d2, _cfg = stage2_ckpt
+    return ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=8)
+
+
+def test_padding_exact(model):
+    """Bucket padding must not perturb real rows (eval BN = running stats)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, *model.sample_shape())).astype(np.float32)
+    batched = model.reconstruct(x)                      # bucket 4, 1 pad row
+    singles = np.stack([model.reconstruct(x[i]) for i in range(3)])
+    np.testing.assert_allclose(batched, singles, atol=1e-5)
+
+
+def test_chunking_and_range(model):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(11, *model.sample_shape())).astype(np.float32)
+    out = model.reconstruct(x)                          # chunks 8 + pad-to-4
+    s = model.cfg.model.image_size
+    assert out.shape == (11, s, s, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # chunked result == one-shot per-chunk results
+    np.testing.assert_allclose(out[:8], model.reconstruct(x[:8]), atol=1e-5)
+    np.testing.assert_allclose(out[8:], model.reconstruct(x[8:]), atol=1e-5)
+
+
+def test_data_parallel_serving_matches_single_device(model, stage2_ckpt):
+    """DP serving (8-virtual-device mesh) returns the single-device images."""
+    import jax
+
+    from fmri_tpu.parallel.mesh import make_mesh
+
+    d2, _cfg = stage2_ckpt
+    mesh = make_mesh()
+    ndev = int(mesh.devices.size)
+    assert ndev == len(jax.devices())
+    dp = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny",
+                                      max_batch=2 * ndev, mesh=mesh)
+    assert all(b % ndev == 0 for b in dp.buckets)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(5, *dp.sample_shape())).astype(np.float32)
+    np.testing.assert_allclose(dp.reconstruct(x), model.reconstruct(x),
+                               atol=1e-5)
+    with pytest.raises(ValueError):
+        ServingModel.from_checkpoint(d2, "vgan", 2, "tiny",
+                                     max_batch=ndev + 1, mesh=mesh)
+
+
+def test_batching_server_futures_and_stats(model):
+    srv = BatchingServer(model, max_wait_ms=20.0)
+    try:
+        rng = np.random.default_rng(2)
+        xs = rng.normal(size=(6, *model.sample_shape())).astype(np.float32)
+        futs = [srv.submit(xs[i]) for i in range(6)]
+        outs = np.stack([f.result(timeout=60) for f in futs])
+        np.testing.assert_allclose(outs, model.reconstruct(xs), atol=1e-5)
+        st = srv.stats()
+        assert st["requests"] == 6
+        assert st["batches"] >= 1
+        assert 0 < st["occupancy"] <= 1.0
+        assert st["latency_ms"]["p50"] > 0
+    finally:
+        srv.close()
+
+
+def test_batching_server_rejects_bad_shape(model):
+    srv = BatchingServer(model)
+    try:
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros(7, np.float32))
+    finally:
+        srv.close()
+
+
+def _request(sock_file_r, sock_file_w, obj):
+    sock_file_w.write((json.dumps(obj) + "\n").encode())
+    sock_file_w.flush()
+    return json.loads(sock_file_r.readline())
+
+
+def test_socket_protocol(model, tmp_path):
+    path = str(tmp_path / "serve.sock")
+    batcher = BatchingServer(model, max_wait_ms=2.0)
+    srv = make_socket_server(batcher, unix_path=path)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(path)
+        r, w = c.makefile("rb"), c.makefile("wb")
+        assert _request(r, w, {"cmd": "ping"}) == {"ok": True}
+        v = np.zeros(model.sample_shape(), np.float32)
+        resp = _request(r, w, {"id": 42, "fmri": v.tolist()})
+        assert resp["id"] == 42 and resp["dtype"] == "uint8"
+        s = model.cfg.model.image_size
+        img = np.frombuffer(base64.b64decode(resp["data"]), np.uint8)
+        assert img.reshape(resp["shape"]).shape == (s, s, 3)
+        # matches the direct path (uint8 round trip)
+        direct = np.clip(model.reconstruct(v) * 255.0 + 0.5,
+                         0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(img.reshape(s, s, 3), direct)
+        # malformed request -> error response, connection stays usable
+        w.write(b'{"bad json\n')
+        w.flush()
+        assert "error" in json.loads(r.readline())
+        assert _request(r, w, {"cmd": "ping"}) == {"ok": True}
+        stats = _request(r, w, {"cmd": "stats"})
+        assert stats["requests"] >= 1
+        c.close()
+    finally:
+        srv.shutdown()
+        batcher.close()
+
+
+def test_serve_cli(stage2_ckpt, tmp_path):
+    """End-to-end: spawn the CLI server, round-trip one request."""
+    d2, cfg = stage2_ckpt
+    path = str(tmp_path / "cli.sock")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", FMRI_TPU_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fmri_tpu.eval.serve", "--family", "vgan",
+         "--stage", "2", "--preset", "tiny", "--ckpt", d2,
+         "--max-batch", "4", "--unix-socket", path, "--no-warmup"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+    try:
+        deadline = 120
+        import time
+
+        t0 = time.monotonic()
+        while not os.path.exists(path):
+            if proc.poll() is not None or time.monotonic() - t0 > deadline:
+                raise AssertionError(
+                    "server did not start: %s" % proc.stdout.read())
+            time.sleep(0.2)
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(path)
+        r, w = c.makefile("rb"), c.makefile("wb")
+        v = np.zeros(cfg.model.num_voxels, np.float32)
+        resp = _request(r, w, {"id": 1, "fmri": v.tolist()})
+        assert resp["id"] == 1 and resp["dtype"] == "uint8"
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
