@@ -83,8 +83,9 @@ class ServingModel:
     """
 
     def __init__(self, family: str, stage: int, cfg, state, *,
-                 max_batch: int = 64, sample: bool = False, seed: int = 0,
-                 mesh=None):
+                 max_batch: int = 64, min_bucket: int = 1,
+                 sample: bool = False, seed: int = 0, mesh=None,
+                 output: str = "float"):
         import jax
         import jax.numpy as jnp
 
@@ -97,8 +98,12 @@ class ServingModel:
         self.max_batch = int(max_batch)
         self.mesh = mesh
         if mesh is None:
-            self.buckets = batch_buckets(self.max_batch)
-            self.state = state
+            self.buckets = batch_buckets(self.max_batch, min_bucket)
+            # Pin params on device ONCE: a checkpoint-restored state is host
+            # numpy, and leaving it that way re-transfers the whole parameter
+            # tree on every call (measured 460 ms/call through the TPU
+            # tunnel vs 4 ms device-resident).
+            self.state = jax.device_put(state)
         else:
             # Data-parallel serving: every bucket is a multiple of the mesh's
             # device count so the batch axis shards evenly; params replicate,
@@ -110,16 +115,27 @@ class ServingModel:
                 raise ValueError(
                     f"max_batch={max_batch} not divisible by the "
                     f"{ndev}-device mesh")
-            self.buckets = [b * ndev
-                            for b in batch_buckets(self.max_batch // ndev)]
+            self.buckets = [
+                b * ndev for b in batch_buckets(
+                    self.max_batch // ndev,
+                    max(1, min_bucket // ndev))]
             self.state = shard_state(state, mesh)
         mean, std = cfg.data.mean, cfg.data.std
+
+        if output not in ("float", "uint8"):
+            raise ValueError(f"output must be 'float' or 'uint8', got {output!r}")
+        self.output = output
 
         def pipeline(st, x, rng):
             if self.data_kind == "image":
                 x = eval_preprocess(x, mean, std)
             out = step(st, x, rng)
-            return jnp.clip(denormalize(out, mean, std), 0.0, 1.0)
+            out = jnp.clip(denormalize(out, mean, std), 0.0, 1.0)
+            if output == "uint8":
+                # Quantize ON DEVICE: the device->host image transfer is 4x
+                # smaller, and the socket transport ships uint8 anyway.
+                out = (out * 255.0 + 0.5).astype(jnp.uint8)
+            return out
 
         # One compiled program per (bucket, rng-presence); preprocess,
         # decode, denormalize and clip all fuse into it — no eager ops on
@@ -313,7 +329,10 @@ class BatchingServer:
 def _encode_image(img) -> Dict:
     import numpy as np
 
-    u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if img.dtype == np.uint8:
+        u8 = img
+    else:
+        u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return {"shape": list(u8.shape), "dtype": "uint8",
             "data": base64.b64encode(u8.tobytes()).decode("ascii")}
 
@@ -387,9 +406,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", required=True)
     p.add_argument("--load-epoch", type=int, default=None)
     p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--min-bucket", type=int, default=1,
+                   help="smallest compiled batch bucket (fewer compiles on "
+                        "TPU at the cost of more padding for tiny batches)")
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--sample", action="store_true",
                    help="reparameterize instead of decoding the mean latent")
+    p.add_argument("--output", choices=["uint8", "float"], default="uint8",
+                   help="on-device quantization of served images (uint8 = 4x "
+                        "smaller device->host transfer; default)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
@@ -413,7 +438,8 @@ def main(argv=None) -> int:
     model = ServingModel.from_checkpoint(
         args.ckpt, args.family, args.stage, args.preset,
         epoch=args.load_epoch, max_batch=args.max_batch,
-        sample=args.sample, seed=args.seed, mesh=mesh)
+        min_bucket=args.min_bucket, sample=args.sample, seed=args.seed,
+        mesh=mesh, output=args.output)
     if not args.no_warmup:
         t0 = time.monotonic()
         model.warmup()

@@ -26,6 +26,8 @@ def test_batch_buckets():
     assert batch_buckets(1) == [1]
     assert batch_buckets(8) == [1, 2, 4, 8]
     assert batch_buckets(12) == [1, 2, 4, 8, 12]
+    assert batch_buckets(8, min_bucket=2) == [2, 4, 8]
+    assert batch_buckets(8, min_bucket=8) == [8]
     with pytest.raises(ValueError):
         batch_buckets(0)
 
@@ -73,6 +75,22 @@ def test_chunking_and_range(model):
     # chunked result == one-shot per-chunk results
     np.testing.assert_allclose(out[:8], model.reconstruct(x[:8]), atol=1e-5)
     np.testing.assert_allclose(out[8:], model.reconstruct(x[8:]), atol=1e-5)
+
+
+def test_uint8_output(model, stage2_ckpt):
+    """On-device uint8 quantization matches the host-side conversion."""
+    d2, _cfg = stage2_ckpt
+    u8 = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=8,
+                                      output="uint8")
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3, *model.sample_shape())).astype(np.float32)
+    got = u8.reconstruct(x)
+    assert got.dtype == np.uint8
+    want = np.clip(model.reconstruct(x) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # device-side vs host-side rounding may differ on exact .5 boundaries
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    with pytest.raises(ValueError):
+        ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", output="int8")
 
 
 def test_data_parallel_serving_matches_single_device(model, stage2_ckpt):
