@@ -30,6 +30,8 @@ Protocol (one JSON object per line, both directions)::
     {"cmd": "stats"}  -> {"requests": n, "batches": n, "occupancy": f,
                           "latency_ms": {"p50": f, "p95": f, "p99": f}, ...}
     {"cmd": "ping"}   -> {"ok": true}
+    {"cmd": "reload", "ckpt": "<dir>", "epoch": n?}   # hot weight swap
+                      -> {"reloaded": "<dir>", "epoch": n}
 
 Stage-1 checkpoints (image->image autoencoding) are also servable: the
 request key becomes ``"image"`` with a flat HWC float list in [0, 1].
@@ -209,6 +211,26 @@ class ServingModel:
         out = np.concatenate(outs)
         return out[0] if single else out
 
+    def reload(self, ckpt_dir: str, epoch: Optional[int] = None) -> Dict:
+        """Hot-swap weights from a checkpoint without restarting the server
+        (zero-downtime model update).  The swap happens under the compute
+        lock, between batches; compiled programs are reused — only the
+        parameter buffers change."""
+        import jax
+
+        from fmri_tpu.checkpoints.store import load_eval_state
+
+        state, meta = load_eval_state(ckpt_dir, epoch=epoch)
+        if self.mesh is None:
+            state = jax.device_put(state)
+        else:
+            from fmri_tpu.parallel.mesh import shard_state
+
+            state = shard_state(state, self.mesh)
+        with self._lock:
+            self.state = state
+        return {"reloaded": ckpt_dir, "epoch": meta.get("epoch")}
+
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, family: str, stage: int,
                         preset: str = "res64", *, epoch: Optional[int] = None,
@@ -353,6 +375,9 @@ class _Handler(socketserver.StreamRequestHandler):
                     resp = batcher.stats()
                 elif req.get("cmd") == "ping":
                     resp = {"ok": True}
+                elif req.get("cmd") == "reload":
+                    resp = batcher.model.reload(req["ckpt"],
+                                                epoch=req.get("epoch"))
                 else:
                     key = ("fmri" if batcher.model.data_kind == "pair"
                            else "image")
