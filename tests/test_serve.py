@@ -33,10 +33,10 @@ def test_batch_buckets():
 
 
 @pytest.fixture(scope="module")
-def stage2_ckpt(tmp_path_factory):
-    """A tiny vgan stage-2 state saved as a checkpoint (fresh cognitive
-    encoder grafted onto a fresh stage-1 triplet — weights untrained; serving
-    only needs the graph + shapes)."""
+def ckpts(tmp_path_factory):
+    """Tiny vgan stage-1 and stage-2 states saved as checkpoints (fresh
+    cognitive encoder grafted onto a fresh stage-1 triplet — weights
+    untrained; serving only needs the graph + shapes)."""
     from fmri_tpu.checkpoints.store import save_checkpoint
     from fmri_tpu.train import stages
 
@@ -47,6 +47,12 @@ def stage2_ckpt(tmp_path_factory):
     d2 = str(tmp_path_factory.mktemp("serve_s2") / "ckpt")
     state2, _, _ = stages.vgan_stage2(cfg, d1, steps_per_epoch=1, donate=False)
     save_checkpoint(d2, 0, state2)
+    return d1, d2, cfg
+
+
+@pytest.fixture(scope="module")
+def stage2_ckpt(ckpts):
+    d1, d2, cfg = ckpts
     return d2, cfg
 
 
@@ -75,6 +81,31 @@ def test_chunking_and_range(model):
     # chunked result == one-shot per-chunk results
     np.testing.assert_allclose(out[:8], model.reconstruct(x[:8]), atol=1e-5)
     np.testing.assert_allclose(out[8:], model.reconstruct(x[8:]), atol=1e-5)
+
+
+def test_image_kind_serving(ckpts):
+    """Stage-1 serving (image->image autoencode): the data_kind='image'
+    branch normalizes the input inside the compiled pipeline."""
+    d1, _d2, cfg = ckpts
+    m = ServingModel.from_checkpoint(d1, "vgan", 1, "tiny", max_batch=4)
+    assert m.data_kind == "image"
+    s = cfg.model.image_size
+    assert m.sample_shape() == (s, s, 3)
+    x = np.random.default_rng(5).uniform(size=(3, s, s, 3)).astype(np.float32)
+    out = m.reconstruct(x)
+    assert out.shape == (3, s, s, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # matches eval_step + denormalize directly
+    import jax
+
+    from fmri_tpu.data.transforms import denormalize, eval_preprocess
+    from fmri_tpu.eval.inference import make_eval_step
+
+    step, _ = make_eval_step("vgan", 1, cfg)
+    ref = denormalize(
+        step(m.state, eval_preprocess(x, cfg.data.mean, cfg.data.std), None),
+        cfg.data.mean, cfg.data.std)
+    np.testing.assert_allclose(out, np.clip(np.asarray(ref), 0, 1), atol=1e-5)
 
 
 def test_uint8_output(model, stage2_ckpt):
