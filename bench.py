@@ -227,6 +227,48 @@ def _inference_stage3(preset: str) -> float:
     return _time_steps(run, "sync", BATCH)
 
 
+def _serving_pipeline(preset: str) -> float:
+    """The production serving path (``fmri_tpu/eval/serve.py``): jitted
+    preprocess->decode->denormalize->uint8 pipeline at the max bucket,
+    device-resident params, scalar-pull sync — the compute row of
+    ``benchmarks/serving_latency.py``."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.eval.serve import ServingModel
+    from fmri_tpu.train import (
+        RmsProp, init_cognitive, init_vaegan, make_state,
+    )
+
+    cfg = get_config(preset)
+    c = cfg.model
+    ks = jax.random.split(jax.random.key(0), 2)
+    vg = init_vaegan(ks[0], cfg)
+    cog = init_cognitive(ks[1], cfg)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "discriminator": {"params": vg["params"]["discriminator"],
+                          "batch_stats": vg["batch_stats"]["discriminator"]},
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+    }
+    state = make_state(groups, {"decoder": RmsProp(clip=1.0)})
+    model = ServingModel("vgan", 3, cfg, state, max_batch=BATCH,
+                         min_bucket=BATCH, output="uint8")
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(BATCH, c.num_voxels)).astype(np.float32))
+
+    def run(i):
+        out = model._pipeline(model.state, x, None)
+        return {"sync": out[0, 0, 0, 0]}
+
+    return _time_steps(run, "sync", BATCH)
+
+
 # (name, measure fn, preset) — flagship FIRST: its JSON line is the driver
 # contract and must land on stdout even if a later config fails.
 SUITE = [
@@ -236,6 +278,7 @@ SUITE = [
     ("stage1_vgan_res100_bf16", _vgan_stage1, "res100-bf16"),
     ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
     ("inference_stage3_res64_bf16", _inference_stage3, "res64-bf16"),
+    ("serving_pipeline_res64_bf16", _serving_pipeline, "res64-bf16"),
 ]
 
 
