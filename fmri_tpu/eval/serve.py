@@ -183,7 +183,8 @@ class ServingModel:
         return np.asarray(self._pipeline(self.state, inp, rng))
 
     def warmup(self) -> None:
-        """Compile every bucket before traffic arrives."""
+        """Compile every bucket before traffic arrives (including the
+        rng-threaded program variant when ``sample=True``)."""
         import numpy as np
 
         shape = self.sample_shape()

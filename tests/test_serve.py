@@ -194,6 +194,39 @@ def test_hot_reload(stage2_ckpt, tmp_path):
     np.testing.assert_allclose(after, fresh.reconstruct(x), atol=1e-5)
 
 
+def test_batching_server_concurrent_stress(model):
+    """Many client threads submitting at once: every future resolves and
+    every result matches the direct single-sample computation."""
+    rng = np.random.default_rng(13)
+    xs = rng.normal(size=(40, *model.sample_shape())).astype(np.float32)
+    want = model.reconstruct(xs)
+    srv = BatchingServer(model, max_wait_ms=3.0)
+    results = [None] * len(xs)
+    errors = []
+
+    def client(lo, hi):
+        try:
+            futs = [(i, srv.submit(xs[i])) for i in range(lo, hi)]
+            for i, f in futs:
+                results[i] = f.result(timeout=60)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=client, args=(lo, lo + 10))
+                   for lo in range(0, 40, 10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        got = np.stack(results)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert srv.stats()["requests"] == 40
+    finally:
+        srv.close()
+
+
 def test_batching_server_rejects_bad_shape(model):
     srv = BatchingServer(model)
     try:
