@@ -67,21 +67,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_eval_step(family: str, stage: int, cfg):
+def make_step_fns(family: str, stage: int, cfg):
+    """(family x stage) -> (StepFns, data_kind) — the full step bundle
+    (train/eval/generate); serving uses eval + generate."""
     from fmri_tpu.train import (
         make_vgan_cognitive_step, make_vgan_stage1_step,
         make_wae_cognitive_step, make_wae_stage1_step, make_wae_vgan_step,
     )
 
     if family == "wae-vgan":
-        return make_wae_vgan_step(cfg, donate=False).eval_step, "image"
+        return make_wae_vgan_step(cfg, donate=False), "image"
     if family == "vgan":
         if stage == 1:
-            return make_vgan_stage1_step(cfg, donate=False).eval_step, "image"
-        return make_vgan_cognitive_step(cfg, stage, donate=False).eval_step, "pair"
+            return make_vgan_stage1_step(cfg, donate=False), "image"
+        return make_vgan_cognitive_step(cfg, stage, donate=False), "pair"
     if stage == 1:
-        return make_wae_stage1_step(cfg, donate=False).eval_step, "image"
-    return make_wae_cognitive_step(cfg, stage, donate=False).eval_step, "pair"
+        return make_wae_stage1_step(cfg, donate=False), "image"
+    return make_wae_cognitive_step(cfg, stage, donate=False), "pair"
+
+
+def make_eval_step(family: str, stage: int, cfg):
+    fns, kind = make_step_fns(family, stage, cfg)
+    return fns.eval_step, kind
 
 
 def main(argv=None) -> int:

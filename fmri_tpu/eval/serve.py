@@ -32,6 +32,8 @@ Protocol (one JSON object per line, both directions)::
     {"cmd": "ping"}   -> {"ok": true}
     {"cmd": "reload", "ckpt": "<dir>", "epoch": n?}   # hot weight swap
                       -> {"reloaded": "<dir>", "epoch": n}
+    {"cmd": "generate", "n": k}   # sample k images from the prior
+                      -> {"shape": [k, H, W, 3], "dtype": "uint8", ...}
 
 Stage-1 checkpoints (image->image autoencoding) are also servable: the
 request key becomes ``"image"`` with a flat HWC float list in [0, 1].
@@ -92,11 +94,12 @@ class ServingModel:
         import jax.numpy as jnp
 
         from fmri_tpu.data.transforms import denormalize, eval_preprocess
-        from fmri_tpu.eval.inference import make_eval_step
+        from fmri_tpu.eval.inference import make_step_fns
 
         self.cfg = cfg
         self.family, self.stage = family, stage
-        step, self.data_kind = make_eval_step(family, stage, cfg)
+        fns, self.data_kind = make_step_fns(family, stage, cfg)
+        step = fns.eval_step
         self.max_batch = int(max_batch)
         self.mesh = mesh
         if mesh is None:
@@ -144,8 +147,21 @@ class ServingModel:
         # the serving path (the tunneled TPU platform pays ~10s per eager
         # op's first execution, CLAUDE.md).
         self._pipeline = jax.jit(pipeline)
+
+        gen = fns.generate_step
+
+        def gen_pipeline(st, rng, n):
+            out = jnp.clip(denormalize(gen(st, rng, n), mean, std), 0.0, 1.0)
+            if output == "uint8":
+                out = (out * 255.0 + 0.5).astype(jnp.uint8)
+            return out
+
+        # prior sampler (the reference's decode-noise branch,
+        # ``vae_gan.py:294-297``) behind the same bucket discipline
+        self._gen = jax.jit(gen_pipeline, static_argnums=(2,))
         self._mean, self._std = mean, std
         self._rng = jax.random.key(seed) if sample else None
+        self._gen_rng = jax.random.key(seed + 0x5EED)
         self._lock = threading.Lock()   # jitted call + rng threading
 
     # -- shapes ------------------------------------------------------------
@@ -211,6 +227,25 @@ class ServingModel:
                 outs.append(self._run(chunk)[:n])
         out = np.concatenate(outs)
         return out[0] if single else out
+
+    def generate(self, n: int) -> "np.ndarray":
+        """Sample ``n`` images from the prior (decode z ~ N(0, I) with BN
+        running averages — the reference's ``model(None)`` eval branch).
+        Buckets like :meth:`reconstruct` so steady state never recompiles."""
+        import jax
+        import numpy as np
+
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        outs, remaining = [], n
+        with self._lock:
+            while remaining > 0:
+                k = min(remaining, self.max_batch)
+                b = self._bucket_for(k)
+                self._gen_rng, r = jax.random.split(self._gen_rng)
+                outs.append(np.asarray(self._gen(self.state, r, b))[:k])
+                remaining -= k
+        return np.concatenate(outs)
 
     def reload(self, ckpt_dir: str, epoch: Optional[int] = None) -> Dict:
         """Hot-swap weights from a checkpoint without restarting the server
@@ -379,6 +414,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 elif req.get("cmd") == "reload":
                     resp = batcher.model.reload(req["ckpt"],
                                                 epoch=req.get("epoch"))
+                elif req.get("cmd") == "generate":
+                    imgs = batcher.model.generate(int(req.get("n", 1)))
+                    resp = {"id": req.get("id"), **_encode_image(imgs)}
                 else:
                     key = ("fmri" if batcher.model.data_kind == "pair"
                            else "image")

@@ -108,6 +108,20 @@ def test_image_kind_serving(ckpts):
     np.testing.assert_allclose(out, np.clip(np.asarray(ref), 0, 1), atol=1e-5)
 
 
+def test_generate(model):
+    """Prior sampling: bucketed, rng advances between calls."""
+    a = model.generate(3)
+    s = model.cfg.model.image_size
+    assert a.shape == (3, s, s, 3)
+    assert 0.0 <= a.min() and a.max() <= 1.0
+    b = model.generate(3)
+    assert np.abs(a - b).max() > 0  # fresh z each call
+    big = model.generate(11)        # > max_batch: chunked
+    assert big.shape == (11, s, s, 3)
+    with pytest.raises(ValueError):
+        model.generate(0)
+
+
 def test_uint8_output(model, stage2_ckpt):
     """On-device uint8 quantization matches the host-side conversion."""
     d2, _cfg = stage2_ckpt
@@ -270,6 +284,9 @@ def test_socket_protocol(model, tmp_path):
         assert _request(r, w, {"cmd": "ping"}) == {"ok": True}
         stats = _request(r, w, {"cmd": "stats"})
         assert stats["requests"] >= 1
+        # prior-sampling command
+        gen = _request(r, w, {"cmd": "generate", "n": 2})
+        assert gen["shape"] == [2, s, s, 3] and gen["dtype"] == "uint8"
         c.close()
     finally:
         srv.shutdown()
