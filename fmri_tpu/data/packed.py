@@ -98,10 +98,14 @@ def open_packed(out_dir: str, *, mmap: bool = True
 
     transform = None
     if quantized:
+        def _dq(v: np.ndarray) -> np.ndarray:
+            # single pass: cast and scale together (no intermediate float copy)
+            return np.divide(v, 255.0, dtype=np.float32)
+
         def transform(batch: Arrays) -> Arrays:
             if not isinstance(batch, dict):
-                return batch.astype(np.float32) / 255.0
-            return {k: (v.astype(np.float32) / 255.0 if k in quantized else v)
+                return _dq(batch)
+            return {k: (_dq(v) if k in quantized else v)
                     for k, v in batch.items()}
 
     if set(arrays) == {"image"}:

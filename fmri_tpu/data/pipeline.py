@@ -33,10 +33,41 @@ def _num_examples(data: Batch) -> int:
     return len(data)
 
 
+def _gather(v: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Row gather, through the native C++ loader where it wins; numpy fancy
+    indexing otherwise.  Measured on-host (benchmarks/native_loader_bench.py):
+    for in-RAM arrays on a single core the two are equal per-op (both
+    memcpy-bound) and the ctypes wrapper only adds overhead, so native is
+    used when it buys something — mapped arrays (the call releases the GIL,
+    so the producer thread's page-fault IO overlaps the main thread) or a
+    multi-core host (parallel row copy)."""
+    if isinstance(v, np.ndarray):
+        from fmri_tpu import native
+
+        if isinstance(v, np.memmap) or native._threads_default() > 1:
+            return native.gather(v, idx)
+    return v[idx]
+
+
 def _index(data: Batch, idx: np.ndarray) -> Batch:
     if isinstance(data, dict):
-        return {k: v[idx] for k, v in data.items()}
-    return data[idx]
+        return {k: _gather(v, idx) for k, v in data.items()}
+    return _gather(data, idx)
+
+
+def _prefetch_rows(data: Batch, idx: np.ndarray) -> None:
+    """madvise(WILLNEED) the next batch's rows (no-op without the native
+    library): on mmap-streamed datasets bigger than the page cache the
+    kernel reads ahead while the current batch computes.  Only mapped
+    arrays are hinted — in-RAM arrays have nothing to read ahead."""
+    from fmri_tpu import native
+
+    if isinstance(data, dict):
+        for v in data.values():
+            if isinstance(v, np.memmap):
+                native.prefetch(v, idx)
+    elif isinstance(data, np.memmap):
+        native.prefetch(data, idx)
 
 
 class Batches:
@@ -81,6 +112,10 @@ class Batches:
         for b in range(self.num_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             batch = _index(self.data, idx)
+            if b + 1 < self.num_batches:  # hint the kernel one batch ahead
+                _prefetch_rows(
+                    self.data,
+                    order[(b + 1) * self.batch_size : (b + 2) * self.batch_size])
             yield self.transform(batch) if self.transform is not None else batch
 
 
