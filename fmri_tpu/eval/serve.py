@@ -37,6 +37,12 @@ Protocol (one JSON object per line, both directions)::
 
 Stage-1 checkpoints (image->image autoencoding) are also servable: the
 request key becomes ``"image"`` with a flat HWC float list in [0, 1].
+
+Scale-out: ``--data-parallel`` shards every bucket's batch axis over all
+local devices; ``--mesh data=N,model=M`` additionally turns on voxel tensor
+parallelism for cognitive checkpoints (the fc1 kernel shards
+[voxels -> model], the same layout training stage 2/3 uses, so a sharded
+training checkpoint serves with identical placement).
 """
 
 from __future__ import annotations
@@ -89,7 +95,7 @@ class ServingModel:
     def __init__(self, family: str, stage: int, cfg, state, *,
                  max_batch: int = 64, min_bucket: int = 1,
                  sample: bool = False, seed: int = 0, mesh=None,
-                 output: str = "float"):
+                 voxel_tp: bool = False, output: str = "float"):
         import jax
         import jax.numpy as jnp
 
@@ -102,6 +108,8 @@ class ServingModel:
         step = fns.eval_step
         self.max_batch = int(max_batch)
         self.mesh = mesh
+        if voxel_tp and mesh is None:
+            raise ValueError("voxel_tp requires a mesh")
         if mesh is None:
             self.buckets = batch_buckets(self.max_batch, min_bucket)
             # Pin params on device ONCE: a checkpoint-restored state is host
@@ -111,20 +119,33 @@ class ServingModel:
             self.state = jax.device_put(state)
         else:
             # Data-parallel serving: every bucket is a multiple of the mesh's
-            # device count so the batch axis shards evenly; params replicate,
-            # XLA SPMD-partitions the compiled program.
-            from fmri_tpu.parallel.mesh import shard_state
+            # data-axis size so the batch axis shards evenly; params
+            # replicate (or, with ``voxel_tp``, the cognitive encoder's fc1
+            # kernel shards [voxels -> model]); XLA SPMD-partitions the
+            # compiled program.
+            from fmri_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_state
 
-            ndev = int(mesh.devices.size)
-            if self.max_batch % ndev:
+            dp = int(mesh.shape[DATA_AXIS])
+            tp = int(mesh.shape[MODEL_AXIS])
+            if voxel_tp:
+                if self.data_kind != "pair":
+                    raise ValueError(
+                        "voxel_tp serves cognitive (fmri->image) checkpoints; "
+                        f"family={family} stage={stage} takes images")
+                if cfg.model.num_voxels % tp:
+                    raise ValueError(
+                        f"num_voxels={cfg.model.num_voxels} not divisible "
+                        f"by the model axis ({tp})")
+            if self.max_batch % dp:
                 raise ValueError(
-                    f"max_batch={max_batch} not divisible by the "
-                    f"{ndev}-device mesh")
+                    f"max_batch={max_batch} not divisible by the mesh's "
+                    f"data axis ({dp})")
             self.buckets = [
-                b * ndev for b in batch_buckets(
-                    self.max_batch // ndev,
-                    max(1, min_bucket // ndev))]
-            self.state = shard_state(state, mesh)
+                b * dp for b in batch_buckets(
+                    self.max_batch // dp,
+                    max(1, min_bucket // dp))]
+            self.state = shard_state(state, mesh, voxel_tp=voxel_tp)
+        self.voxel_tp = bool(voxel_tp)
         mean, std = cfg.data.mean, cfg.data.std
 
         if output not in ("float", "uint8"):
@@ -189,9 +210,14 @@ class ServingModel:
         if self.mesh is None:
             inp = jax.numpy.asarray(x)
         else:
-            from fmri_tpu.parallel.mesh import shard_batch
+            from fmri_tpu.parallel.mesh import batch_sharding
 
-            inp = shard_batch(np.asarray(x), self.mesh)
+            x = np.asarray(x)
+            # batch axis over data; with voxel_tp the fmri voxel axis
+            # additionally shards over model (fc1 partial matmul + psum)
+            inp = jax.device_put(
+                x, batch_sharding(self.mesh, x.ndim,
+                                  shard_features=self.voxel_tp))
         rng = None
         if self._rng is not None:
             self._rng, rng = jax.random.split(self._rng)
@@ -262,7 +288,7 @@ class ServingModel:
         else:
             from fmri_tpu.parallel.mesh import shard_state
 
-            state = shard_state(state, self.mesh)
+            state = shard_state(state, self.mesh, voxel_tp=self.voxel_tp)
         with self._lock:
             self.state = state
         return {"reloaded": ckpt_dir, "epoch": meta.get("epoch")}
@@ -484,6 +510,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard every bucket over a data mesh spanning all "
                         "local devices (throughput-scale serving)")
+    p.add_argument("--mesh", default=None, metavar="data=N,model=M",
+                   help="explicit serving mesh; model>1 turns on voxel "
+                        "tensor parallelism for cognitive checkpoints "
+                        "(fc1 [voxels -> model] sharding, same layout as "
+                        "training stage 2/3)")
     p.add_argument("--unix-socket", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7717)
@@ -494,8 +525,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _apply_platform_override()
 
-    mesh = None
-    if args.data_parallel:
+    mesh, voxel_tp = None, False
+    if args.mesh:
+        from fmri_tpu.train.run import _parse_mesh
+
+        mesh, voxel_tp = _parse_mesh(args.mesh)
+    elif args.data_parallel:
         from fmri_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -503,7 +538,7 @@ def main(argv=None) -> int:
         args.ckpt, args.family, args.stage, args.preset,
         epoch=args.load_epoch, max_batch=args.max_batch,
         min_bucket=args.min_bucket, sample=args.sample, seed=args.seed,
-        mesh=mesh, output=args.output)
+        mesh=mesh, voxel_tp=voxel_tp, output=args.output)
     if not args.no_warmup:
         t0 = time.monotonic()
         model.warmup()

@@ -160,6 +160,44 @@ def test_data_parallel_serving_matches_single_device(model, stage2_ckpt):
                                      max_batch=ndev + 1, mesh=mesh)
 
 
+def test_voxel_tp_serving_matches_single_device(model, stage2_ckpt):
+    """dp x voxel-TP serving (fc1 [voxels -> model] sharding, the training
+    stage-2 layout) returns the single-device images; generate and reload
+    work under the sharded state."""
+    from fmri_tpu.parallel.mesh import make_mesh
+
+    d2, cfg = stage2_ckpt
+    mesh = make_mesh(data=4, model=2)
+    tp = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=8,
+                                      mesh=mesh, voxel_tp=True)
+    assert all(b % 4 == 0 for b in tp.buckets)  # data-axis multiple, not 8
+    # the fc1 kernel is actually sharded over the model axis
+    k = tp.state.params["encoder"]["fc1"]["kernel"]
+    assert len(k.sharding.device_set) == 8
+    assert k.sharding.shard_shape(k.shape)[0] == cfg.model.num_voxels // 2
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(5, *tp.sample_shape())).astype(np.float32)
+    np.testing.assert_allclose(tp.reconstruct(x), model.reconstruct(x),
+                               atol=1e-5)
+    g = tp.generate(3)
+    assert g.shape == (3, cfg.model.image_size, cfg.model.image_size, 3)
+    tp.reload(d2)   # re-shards with voxel_tp
+    np.testing.assert_allclose(tp.reconstruct(x), model.reconstruct(x),
+                               atol=1e-5)
+
+
+def test_voxel_tp_validation(ckpts):
+    from fmri_tpu.parallel.mesh import make_mesh
+
+    d1, d2, _cfg = ckpts
+    with pytest.raises(ValueError):   # no mesh
+        ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", voxel_tp=True)
+    with pytest.raises(ValueError):   # image-kind checkpoint
+        ServingModel.from_checkpoint(d1, "vgan", 1, "tiny", max_batch=8,
+                                     mesh=make_mesh(data=4, model=2),
+                                     voxel_tp=True)
+
+
 def test_batching_server_futures_and_stats(model):
     srv = BatchingServer(model, max_wait_ms=20.0)
     try:
