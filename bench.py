@@ -311,6 +311,37 @@ def main() -> None:
                                  "preset": preset}
                 print(f"{name}: FAILED {e}", file=sys.stderr)
 
+    if os.environ.get("FMRI_TPU_BENCH_FAST") != "1":
+        # Host input-path row (CPU only): shuffled-epoch throughput over a
+        # synthetic uint8 packed array through Batches (native C++ gather
+        # where the measured dispatch policy picks it — fmri_tpu/native).
+        try:
+            import numpy as np
+
+            from fmri_tpu import native
+            from fmri_tpu.data.pipeline import Batches
+
+            rng = np.random.default_rng(0)
+            arr = rng.integers(0, 256, size=(16384, 64, 64, 3), dtype=np.uint8)
+
+            def host_epoch(_):
+                n = 0
+                for b in Batches(arr, BATCH, shuffle=True, seed=1):
+                    n += len(b)
+                return n
+
+            host_epoch(0)
+            t0 = time.perf_counter()
+            n = host_epoch(0)
+            results["host_loader_epoch"] = {
+                "imgs_per_sec": round(n / (time.perf_counter() - t0), 1),
+                "batch": BATCH, "native": native.available()}
+            print(f"host_loader_epoch: "
+                  f"{results['host_loader_epoch']['imgs_per_sec']:.0f} imgs/s "
+                  f"(native={native.available()})", file=sys.stderr)
+        except Exception as e:
+            results["host_loader_epoch"] = {"error": f"{type(e).__name__}: {e}"}
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SUITE.json")
     # merge over the existing file: a FAST (flagship-only) run must not
