@@ -263,7 +263,7 @@ def _serving_pipeline(preset: str) -> float:
         size=(BATCH, c.num_voxels)).astype(np.float32))
 
     def run(i):
-        out = model._pipeline(model.state, x, None)
+        out, _ = model._pipeline(model.state, x, None)
         return {"sync": out[0, 0, 0, 0]}
 
     return _time_steps(run, "sync", BATCH)
@@ -285,6 +285,14 @@ SUITE = [
 def main() -> None:
     results = {}
     name, fn, preset = SUITE[0]
+    # A preset/variant override measures a non-flagship config: record it
+    # under its own key so the merge below cannot clobber the canonical
+    # machine-captured flagship row in BENCH_SUITE.json.
+    if os.environ.get("FMRI_TPU_BENCH_PRESET"):
+        name = f"stage1_vgan_{preset}"
+    variant = os.environ.get("FMRI_TPU_BENCH_VARIANT")
+    if variant:
+        name = f"{name}_variant_{variant.replace(',', '+')}"
     v = fn(preset)
     results[name] = {"imgs_per_sec": round(v, 1), "preset": preset,
                      "batch": BATCH,
@@ -297,7 +305,11 @@ def main() -> None:
     }))
     sys.stdout.flush()
 
-    if os.environ.get("FMRI_TPU_BENCH_FAST") != "1":
+    # FAST skips the non-flagship configs; a variant run does too (the
+    # variant toggles reach every _vgan_stage1 row and would otherwise be
+    # recorded under the canonical keys).
+    fast = os.environ.get("FMRI_TPU_BENCH_FAST") == "1" or bool(variant)
+    if not fast:
         for name, fn, preset in SUITE[1:]:
             try:
                 v = fn(preset)
@@ -311,7 +323,7 @@ def main() -> None:
                                  "preset": preset}
                 print(f"{name}: FAILED {e}", file=sys.stderr)
 
-    if os.environ.get("FMRI_TPU_BENCH_FAST") != "1":
+    if not fast:
         # Host input-path row (CPU only): shuffled-epoch throughput over a
         # synthetic uint8 packed array through Batches (native C++ gather
         # where the measured dispatch policy picks it — fmri_tpu/native).

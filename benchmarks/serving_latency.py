@@ -81,7 +81,7 @@ def compute_only(model, iters: int = 50) -> dict:
         size=(b, *model.sample_shape())).astype(np.float32))
 
     def sync(o):
-        return np.asarray(o[0, 0, 0, 0])
+        return np.asarray(o[0][0, 0, 0, 0])
 
     sync(model._pipeline(model.state, x, None))  # warm
     t0 = time.monotonic()

@@ -155,27 +155,35 @@ class ServingModel:
         def pipeline(st, x, rng):
             if self.data_kind == "image":
                 x = eval_preprocess(x, mean, std)
-            out = step(st, x, rng)
+            if rng is None:
+                out = step(st, x, None)
+            else:
+                # Split INSIDE the compiled program and return the carried
+                # key: an eager per-call split would pay a tunnel round trip
+                # (first call: a ~10s mini-compile) on every batch.
+                rng, sub = jax.random.split(rng)
+                out = step(st, x, sub)
             out = jnp.clip(denormalize(out, mean, std), 0.0, 1.0)
             if output == "uint8":
                 # Quantize ON DEVICE: the device->host image transfer is 4x
                 # smaller, and the socket transport ships uint8 anyway.
                 out = (out * 255.0 + 0.5).astype(jnp.uint8)
-            return out
+            return out, rng
 
         # One compiled program per (bucket, rng-presence); preprocess,
-        # decode, denormalize and clip all fuse into it — no eager ops on
-        # the serving path (the tunneled TPU platform pays ~10s per eager
-        # op's first execution, CLAUDE.md).
+        # decode, denormalize, clip and the rng split all fuse into it — no
+        # eager ops on the serving path (the tunneled TPU platform pays ~10s
+        # per eager op's first execution, CLAUDE.md).
         self._pipeline = jax.jit(pipeline)
 
         gen = fns.generate_step
 
         def gen_pipeline(st, rng, n):
-            out = jnp.clip(denormalize(gen(st, rng, n), mean, std), 0.0, 1.0)
+            rng, sub = jax.random.split(rng)
+            out = jnp.clip(denormalize(gen(st, sub, n), mean, std), 0.0, 1.0)
             if output == "uint8":
                 out = (out * 255.0 + 0.5).astype(jnp.uint8)
-            return out
+            return out, rng
 
         # prior sampler (the reference's decode-noise branch,
         # ``vae_gan.py:294-297``) behind the same bucket discipline
@@ -218,20 +226,29 @@ class ServingModel:
             inp = jax.device_put(
                 x, batch_sharding(self.mesh, x.ndim,
                                   shard_features=self.voxel_tp))
-        rng = None
-        if self._rng is not None:
-            self._rng, rng = jax.random.split(self._rng)
+        # The carried rng stays device-resident across calls (None when not
+        # sampling — the compiled program then returns (out, None)).
+        out, self._rng = self._pipeline(self.state, inp, self._rng)
         # np.asarray is the completion sync (host pull).
-        return np.asarray(self._pipeline(self.state, inp, rng))
+        return np.asarray(out)
 
-    def warmup(self) -> None:
-        """Compile every bucket before traffic arrives (including the
-        rng-threaded program variant when ``sample=True``)."""
+    def warmup(self, generate: bool = True) -> None:
+        """Compile every bucket before traffic arrives — the reconstruct
+        pipeline (including the rng-threaded variant when ``sample=True``)
+        and, by default, the prior-sampling ``generate`` programs, so the
+        first ``generate`` request cannot stall live reconstruct traffic
+        behind a per-bucket XLA compile."""
         import numpy as np
 
         shape = self.sample_shape()
         for b in self.buckets:
             self._run(np.zeros((b, *shape), np.float32))
+        if generate:
+            with self._lock:
+                for b in self.buckets:
+                    imgs, self._gen_rng = self._gen(self.state,
+                                                    self._gen_rng, b)
+                np.asarray(imgs)  # completion sync
 
     def reconstruct(self, x) -> "np.ndarray":
         """[N, ...] request batch (or a single sample) -> [N, H, W, 3]."""
@@ -241,6 +258,10 @@ class ServingModel:
         single = x.ndim == len(self.sample_shape())
         if single:
             x = x[None]
+        if len(x) == 0:
+            s = self.cfg.model.image_size
+            return np.zeros((0, s, s, 3),
+                            np.uint8 if self.output == "uint8" else np.float32)
         outs = []
         with self._lock:
             for lo in range(0, len(x), self.max_batch):
@@ -257,8 +278,8 @@ class ServingModel:
     def generate(self, n: int) -> "np.ndarray":
         """Sample ``n`` images from the prior (decode z ~ N(0, I) with BN
         running averages — the reference's ``model(None)`` eval branch).
-        Buckets like :meth:`reconstruct` so steady state never recompiles."""
-        import jax
+        Buckets like :meth:`reconstruct` so steady state never recompiles;
+        the rng split happens inside the compiled program (no eager ops)."""
         import numpy as np
 
         if n < 1:
@@ -268,8 +289,8 @@ class ServingModel:
             while remaining > 0:
                 k = min(remaining, self.max_batch)
                 b = self._bucket_for(k)
-                self._gen_rng, r = jax.random.split(self._gen_rng)
-                outs.append(np.asarray(self._gen(self.state, r, b))[:k])
+                imgs, self._gen_rng = self._gen(self.state, self._gen_rng, b)
+                outs.append(np.asarray(imgs)[:k])
                 remaining -= k
         return np.concatenate(outs)
 
@@ -474,6 +495,10 @@ def make_socket_server(batcher: BatchingServer, *,
     """Build (not start) the threaded socket server; ``.server_address`` has
     the bound address (useful with port=0)."""
     if unix_path:
+        if not hasattr(socketserver, "UnixStreamServer"):
+            raise RuntimeError(
+                "unix domain sockets are unsupported on this platform; "
+                "use --host/--port (TCP) instead")
         if os.path.exists(unix_path):
             os.unlink(unix_path)
         srv = _ThreadingUnix(unix_path, _Handler)

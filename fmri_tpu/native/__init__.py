@@ -90,8 +90,25 @@ def why_unavailable() -> Optional[str]:
 
 def _rows_ok(arr: np.ndarray) -> bool:
     """Native kernels address rows as base + i*row_bytes: the array must be
-    C-contiguous (memmaps opened by the packed store are)."""
-    return arr.flags["C_CONTIGUOUS"] and arr.ndim >= 1 and arr.size > 0
+    C-contiguous (memmaps opened by the packed store are) and must not hold
+    Python objects — memcpy'ing PyObject pointers would skip refcounting
+    (double-free on collection), so object/structured-with-object dtypes
+    take the numpy fallback."""
+    return (arr.flags["C_CONTIGUOUS"] and arr.ndim >= 1 and arr.size > 0
+            and not arr.dtype.hasobject)
+
+
+def _check_out(out: np.ndarray, shape: tuple, dtype) -> np.ndarray:
+    """The native kernels write raw bytes through ``out``'s base pointer;
+    a wrong shape/dtype/layout would corrupt the heap, so validate exactly
+    what the numpy fallback's broadcasting assignment would enforce."""
+    if out.shape != shape:
+        raise ValueError(f"out shape {out.shape} != expected {shape}")
+    if out.dtype != dtype:
+        raise TypeError(f"out dtype {out.dtype} != expected {np.dtype(dtype)}")
+    if not out.flags["C_CONTIGUOUS"] or not out.flags["WRITEABLE"]:
+        raise ValueError("out must be C-contiguous and writeable")
+    return out
 
 
 def _idx64(idx: np.ndarray) -> np.ndarray:
@@ -114,6 +131,7 @@ def gather(arr: np.ndarray, idx: np.ndarray, *,
     if lib is None or not _rows_ok(arr):
         res = arr[idx]
         if out is not None:
+            _check_out(out, res.shape, res.dtype)
             out[...] = res
             return out
         return res
@@ -122,6 +140,8 @@ def gather(arr: np.ndarray, idx: np.ndarray, *,
     row_bytes = arr.dtype.itemsize * int(np.prod(arr.shape[1:], dtype=np.int64))
     if out is None:
         out = np.empty((idx.size, *arr.shape[1:]), dtype=arr.dtype)
+    else:
+        _check_out(out, (idx.size, *arr.shape[1:]), arr.dtype)
     lib.ft_gather_rows(_ptr(arr), row_bytes, _ptr(idx), idx.size, _ptr(out),
                        threads or _threads_default())
     return out
@@ -141,6 +161,7 @@ def gather_dequant(arr: np.ndarray, idx: np.ndarray, *,
     if lib is None or not _rows_ok(arr):
         res = arr[idx].astype(np.float32) * np.float32(scale)
         if out is not None:
+            _check_out(out, res.shape, res.dtype)
             out[...] = res
             return out
         return res
@@ -149,6 +170,8 @@ def gather_dequant(arr: np.ndarray, idx: np.ndarray, *,
     row_elems = int(np.prod(arr.shape[1:], dtype=np.int64))
     if out is None:
         out = np.empty((idx.size, *arr.shape[1:]), dtype=np.float32)
+    else:
+        _check_out(out, (idx.size, *arr.shape[1:]), np.float32)
     lib.ft_gather_u8_f32(_ptr(arr), row_elems, _ptr(idx), idx.size,
                          _ptr(out), ctypes.c_float(scale),
                          threads or _threads_default())

@@ -104,8 +104,13 @@ def _conv2d_pdw_bwd(stride, padding, compute_dtype, res, dy):
         xc, dyc = x.astype(cd), dy.astype(cd)
     else:
         xc, dyc = x, dy
-    dw = _pdw.conv2d_dw(xc, dyc, stride=stride, padding=padding,
-                        k=kernel.shape[0])
+    try:
+        dw = _pdw.conv2d_dw(xc, dyc, stride=stride, padding=padding,
+                            k=kernel.shape[0])
+    except _pdw.VmemOverflow:  # geometry too large for a 1-sample tile
+        dw = jax.vjp(
+            lambda ww: conv2d(x, ww, stride, padding, compute_dtype), kernel
+        )[1](dy)[0]
     return dx, dw.astype(kernel.dtype)
 
 
@@ -211,9 +216,15 @@ def _deconv_pdw_bwd(stride, padding, output_padding, compute_dtype, res, dy):
         xc, dyc = x.astype(cd), dy.astype(cd)
     else:
         xc, dyc = x, dy
-    dw = _pdw.conv2d_transpose_dw(xc, dyc, stride=stride, padding=padding,
-                                  output_padding=output_padding,
-                                  k=kernel.shape[0])
+    try:
+        dw = _pdw.conv2d_transpose_dw(xc, dyc, stride=stride, padding=padding,
+                                      output_padding=output_padding,
+                                      k=kernel.shape[0])
+    except _pdw.VmemOverflow:  # geometry too large for a 1-sample tile
+        dw = jax.vjp(
+            lambda ww: conv2d_transpose(x, ww, stride, padding,
+                                        output_padding, compute_dtype), kernel
+        )[1](dy)[0]
     return dx, dw.astype(kernel.dtype)
 
 

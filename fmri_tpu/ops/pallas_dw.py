@@ -41,6 +41,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+class VmemOverflow(Exception):
+    """Raised at trace time when even a one-sample batch tile exceeds the
+    VMEM budget — callers (``fmri_tpu.ops.conv``) catch this and fall back
+    to the stock XLA weight grad, preserving the contract that flipping
+    ``pallas_backward`` on an out-of-scope geometry must never crash."""
+
+
 def _pick_tb(batch: int, bytes_per_sample: int) -> int:
     """Largest divisor of ``batch`` whose tile fits the VMEM budget.
 
@@ -51,6 +58,10 @@ def _pick_tb(batch: int, bytes_per_sample: int) -> int:
     scoped vmem, ~25x the tap temp + 2x the blocks), so undercounting OOMs
     at compile time on real hardware.
     """
+    if bytes_per_sample > _VMEM_BUDGET:
+        raise VmemOverflow(
+            f"one-sample tile needs {bytes_per_sample} B > "
+            f"{_VMEM_BUDGET} B VMEM budget")
     tb = max(1, min(batch, _VMEM_BUDGET // max(bytes_per_sample, 1)))
     while batch % tb:
         tb -= 1

@@ -74,6 +74,33 @@ class TestGather:
         idx = np.array([0, 3, 19])
         np.testing.assert_array_equal(native.gather(arr, idx), arr[idx])
 
+    def test_object_dtype_falls_back(self):
+        """Object arrays must never hit the native memcpy (it would copy
+        PyObject pointers without refcounting -> double free); the wrapper
+        routes them to numpy indexing."""
+        arr = np.empty(6, dtype=object)
+        arr[:] = [("row", i) for i in range(6)]
+        got = native.gather(arr, np.array([4, 0, 4]))
+        assert list(got) == [("row", 4), ("row", 0), ("row", 4)]
+
+    def test_bad_out_rejected(self, rng):
+        """The native kernels write raw bytes through ``out``'s pointer:
+        wrong shape/dtype/layout must raise, not corrupt the heap.  Same
+        contract on the numpy fallback path."""
+        arr = rng.standard_normal((20, 4)).astype(np.float32)
+        idx = np.array([1, 2, 3])
+        with pytest.raises(ValueError):       # wrong shape
+            native.gather(arr, idx, out=np.empty((2, 4), np.float32))
+        with pytest.raises(TypeError):        # wrong dtype
+            native.gather(arr, idx, out=np.empty((3, 4), np.float64))
+        noncontig = np.empty((3, 8), np.float32)[:, ::2]
+        with pytest.raises(ValueError):       # non-contiguous
+            native.gather(arr, idx, out=noncontig)
+        with pytest.raises(TypeError):        # dequant: out must be float32
+            native.gather_dequant(
+                np.zeros((9, 4), np.uint8), idx,
+                out=np.empty((3, 4), np.uint8))
+
 
 class TestGatherDequant:
     @requires_native

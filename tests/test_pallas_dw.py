@@ -190,7 +190,6 @@ def test_conv2d_dw_bf16_operands_close_to_fp32():
 
 @pytest.mark.parametrize("shape,stride,padding,k", [
     ((2, 8, 8, 4), 2, 1, 3),   # stride-2 but not the k5/p2 geometry
-    ((2, 9, 9, 4), 2, 2, 5),   # odd spatial
 ])
 def test_pallas_backward_out_of_scope_geometry_falls_back(
         shape, stride, padding, k):
@@ -204,6 +203,43 @@ def test_pallas_backward_out_of_scope_geometry_falls_back(
         x, ww, stride=stride, padding=padding) ** 2))(w)
     g_pal = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
         x, ww, stride=stride, padding=padding, pallas_backward=True) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_backward_odd_spatial_in_scope_equivalence():
+    """Odd H/W at the k5/p2/s2 geometry IS in scope (the parity-plane
+    indexing handles it); assert the Pallas dW path matches XLA there."""
+    k0, k1 = jax.random.split(jax.random.key(11))
+    x = _rand(k0, (2, 9, 9, 4))
+    w = _rand(k1, (5, 5, 4, 6)) * 0.1
+    g_ref = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
+        x, ww, stride=2, padding=2) ** 2))(w)
+    g_pal = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
+        x, ww, stride=2, padding=2, pallas_backward=True) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_backward_vmem_overflow_falls_back():
+    """A geometry whose one-sample tile exceeds the VMEM budget must take
+    the stock XLA weight grad (``pallas_dw.VmemOverflow`` caught in
+    ``ops/conv.py``), not emit an uncompilable kernel.  The 25 live per-tap
+    reshape temps dominate: 25 * 128^2 * 8ch * 4B = 13.1 MB > the 13 MB
+    budget at this shape."""
+    per_sample = (2 * ((128 + 4) ** 2 * 8 + 128 ** 2 * 8)
+                  + 25 * 128 ** 2 * 8 + 128 ** 2 * 8) * 4
+    assert per_sample > pallas_dw._VMEM_BUDGET  # the premise of this test
+    k0, k1 = jax.random.split(jax.random.key(13))
+    x = _rand(k0, (1, 128, 128, 8))
+    w = _rand(k1, (5, 5, 8, 8)) * 0.1
+    with pytest.raises(pallas_dw.VmemOverflow):
+        pallas_dw.conv2d_dw(x, jnp.zeros((1, 128, 128, 8)), stride=1,
+                            padding=2)
+    g_ref = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
+        x, ww, stride=1, padding=2) ** 2))(w)
+    g_pal = jax.grad(lambda ww: jnp.sum(conv_ops.conv2d(
+        x, ww, stride=1, padding=2, pallas_backward=True) ** 2))(w)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
 

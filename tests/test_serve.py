@@ -83,6 +83,45 @@ def test_chunking_and_range(model):
     np.testing.assert_allclose(out[8:], model.reconstruct(x[8:]), atol=1e-5)
 
 
+def test_empty_batch_reconstruct(model):
+    """A zero-row batch is degenerate but valid: empty result, no crash."""
+    out = model.reconstruct(np.zeros((0, *model.sample_shape()), np.float32))
+    s = model.cfg.model.image_size
+    assert out.shape == (0, s, s, 3)
+    assert out.dtype == np.float32
+
+
+def test_sampling_rng_threads_through_pipeline(stage2_ckpt):
+    """``sample=True``: the reparameterization key is split INSIDE the
+    compiled program (no eager per-call ops on the tunneled TPU) and carried
+    device-resident across calls — fresh eps every call, deterministic
+    replay from the same seed."""
+    d2, _cfg = stage2_ckpt
+    x = np.random.default_rng(2).normal(
+        size=(2, _cfg.model.num_voxels)).astype(np.float32)
+    m = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4,
+                                     sample=True, seed=3)
+    a, b = m.reconstruct(x), m.reconstruct(x)
+    assert np.abs(a - b).max() > 0          # key advanced between calls
+    m2 = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4,
+                                      sample=True, seed=3)
+    np.testing.assert_allclose(m2.reconstruct(x), a, atol=1e-6)
+
+
+def test_warmup_covers_generate(stage2_ckpt):
+    """warmup() must pre-compile the prior-sampling programs too, so the
+    first {"cmd": "generate"} cannot stall live traffic behind an XLA
+    compile while holding the model lock."""
+    d2, _cfg = stage2_ckpt
+    m = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4)
+    assert m._gen._cache_size() == 0
+    m.warmup()
+    assert m._pipeline._cache_size() == len(m.buckets)
+    assert m._gen._cache_size() == len(m.buckets)
+    m.generate(3)
+    assert m._gen._cache_size() == len(m.buckets)   # steady state: no compile
+
+
 def test_image_kind_serving(ckpts):
     """Stage-1 serving (image->image autoencode): the data_kind='image'
     branch normalizes the input inside the compiled pipeline."""
