@@ -140,23 +140,18 @@ def _wae_stage1(preset: str) -> float:
     return _time_steps(run, "loss_reconstruction", BATCH)
 
 
-def _vgan_stage2(preset: str) -> float:
+def _cognitive_groups(cfg):
+    """Named groups for the cognitive (stage 2/3) graph: fresh cognitive
+    encoder + the stage-1 triplet standing in for a loaded checkpoint
+    (weights untrained — throughput only depends on shapes)."""
     import jax
-    import jax.numpy as jnp
 
-    from fmri_tpu.configs import get_config
-    from fmri_tpu.train import (
-        RmsProp, init_cognitive, init_vaegan, make_state,
-        make_vgan_cognitive_step,
-    )
+    from fmri_tpu.train import init_cognitive, init_vaegan
 
-    cfg = get_config(preset)
-    c = cfg.model
-    step = make_vgan_cognitive_step(cfg, stage=2, donate=True)
     ks = jax.random.split(jax.random.key(0), 2)
     vg = init_vaegan(ks[0], cfg)
     cog = init_cognitive(ks[1], cfg)
-    groups = {
+    return {
         "encoder": cog,
         "decoder": {"params": vg["params"]["decoder"],
                     "batch_stats": vg["batch_stats"]["decoder"]},
@@ -165,14 +160,35 @@ def _vgan_stage2(preset: str) -> float:
         "teacher_encoder": {"params": vg["params"]["encoder"],
                             "batch_stats": vg["batch_stats"]["encoder"]},
     }
-    state = make_state(groups,
-                       {k: RmsProp(clip=1.0) for k in ("encoder", "discriminator")})
-    batch = {
+
+
+def _pair_batch(cfg):
+    import jax
+
+    c = cfg.model
+    return {
         "fmri": jax.random.normal(jax.random.key(1), (BATCH, c.num_voxels)),
         "image": jax.random.uniform(
             jax.random.key(2), (BATCH, c.image_size, c.image_size, 3),
             minval=-1.0, maxval=1.0),
     }
+
+
+def _vgan_cognitive(preset: str, stage: int) -> float:
+    """Stage-II (encoder+disc trained, distillation) or Stage-III
+    (decoder+disc trained, encoder frozen) cognitive training throughput."""
+    import jax.numpy as jnp
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.train import RmsProp, make_state, make_vgan_cognitive_step
+
+    cfg = get_config(preset)
+    step = make_vgan_cognitive_step(cfg, stage=stage, donate=True)
+    trained = ("encoder", "discriminator") if stage == 2 else (
+        "decoder", "discriminator")
+    state = make_state(_cognitive_groups(cfg),
+                       {k: RmsProp(clip=1.0) for k in trained})
+    batch = _pair_batch(cfg)
     margin, eq, lam = jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6)
     keys = _prebuilt_keys(WARMUP + ITERS)
     box = [state]
@@ -182,6 +198,78 @@ def _vgan_stage2(preset: str) -> float:
         return metrics
 
     return _time_steps(run, "loss_encoder", BATCH)
+
+
+def _vgan_stage2(preset: str) -> float:
+    return _vgan_cognitive(preset, 2)
+
+
+def _vgan_stage3(preset: str) -> float:
+    return _vgan_cognitive(preset, 3)
+
+
+def _wae_stage2(preset: str) -> float:
+    """Cognitive WAE (latent alignment): encoder + latent D trained, decoder
+    and teacher frozen (``train_wae_stage2.py``)."""
+    import jax
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.train import (
+        Adam, init_latent_disc, make_state, make_wae_cognitive_step,
+    )
+
+    cfg = get_config(preset)
+    step = make_wae_cognitive_step(cfg, 2, donate=True)
+    groups = _cognitive_groups(cfg)
+    del groups["discriminator"]  # no image discriminator in the WAE family
+    groups["latent_disc"] = init_latent_disc(
+        jax.random.key(3), cfg, init_scheme="normal")
+    opt = Adam(b1=0.5, b2=0.999)
+    state = make_state(groups, {"encoder": opt, "latent_disc": opt})
+    batch = _pair_batch(cfg)
+    keys = _prebuilt_keys(WARMUP + ITERS)
+    box = [state]
+
+    def run(i):
+        box[0], metrics = step.train_step(box[0], batch, keys[i])
+        return metrics
+
+    return _time_steps(run, "loss_reconstruction", BATCH)
+
+
+def _wae_vgan_stage1(preset: str) -> float:
+    """WAE/Dual-GAN Stage I: full VAE/GAN losses + the latent-D phase in one
+    fused step (``wae_vgan_stage1.py``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.train import (
+        RmsProp, init_latent_disc, init_vaegan, make_state, make_wae_vgan_step,
+    )
+
+    cfg = get_config(preset)
+    c = cfg.model
+    step = make_wae_vgan_step(cfg, "vae-gan", donate=True)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    vg = init_vaegan(k1, cfg)
+    g = {k: {"params": vg["params"][k], "batch_stats": vg["batch_stats"][k]}
+         for k in vg["params"]}
+    g["latent_disc"] = init_latent_disc(k2, cfg, init_scheme="uniform")
+    opt = RmsProp()
+    state = make_state(g, {k: opt for k in g})
+    x = jax.random.uniform(
+        jax.random.key(1), (BATCH, c.image_size, c.image_size, 3),
+        minval=-1.0, maxval=1.0)
+    margin, eq, lam = jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6)
+    keys = _prebuilt_keys(WARMUP + ITERS)
+    box = [state]
+
+    def run(i):
+        box[0], metrics = step.train_step(box[0], x, keys[i], margin, eq, lam)
+        return metrics
+
+    return _time_steps(run, "loss_reconstruction", BATCH)
 
 
 def _inference_stage3(preset: str) -> float:
@@ -276,7 +364,10 @@ SUITE = [
      os.environ.get("FMRI_TPU_BENCH_PRESET", "res64-bf16")),
     ("stage1_wae_res64", _wae_stage1, "res64"),
     ("stage1_vgan_res100_bf16", _vgan_stage1, "res100-bf16"),
+    ("stage1_wae_vgan_res64_bf16", _wae_vgan_stage1, "res64-bf16"),
     ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
+    ("stage3_vgan_res64_bf16", _vgan_stage3, "res64-bf16"),
+    ("stage2_wae_res64", _wae_stage2, "res64"),
     ("inference_stage3_res64_bf16", _inference_stage3, "res64-bf16"),
     ("serving_pipeline_res64_bf16", _serving_pipeline, "res64-bf16"),
 ]
