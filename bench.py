@@ -363,6 +363,7 @@ SUITE = [
     ("stage1_vgan_res64_bf16", _vgan_stage1,
      os.environ.get("FMRI_TPU_BENCH_PRESET", "res64-bf16")),
     ("stage1_wae_res64", _wae_stage1, "res64"),
+    ("stage1_wae_res64_bf16", _wae_stage1, "res64-bf16"),
     ("stage1_vgan_res100_bf16", _vgan_stage1, "res100-bf16"),
     ("stage1_wae_vgan_res64_bf16", _wae_vgan_stage1, "res64-bf16"),
     ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
@@ -374,6 +375,9 @@ SUITE = [
 
 
 def main() -> None:
+    from fmri_tpu.utils.compile_cache import enable as _compile_cache
+    _compile_cache()  # persistent XLA cache: repeated bench runs skip compiles
+
     results = {}
     name, fn, preset = SUITE[0]
     # A preset/variant override measures a non-flagship config: record it

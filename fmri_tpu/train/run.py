@@ -260,6 +260,8 @@ def _load_pairs(args, cfg):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _apply_platform_override()
+    from fmri_tpu.utils.compile_cache import enable as _compile_cache
+    _compile_cache()  # persistent XLA cache: 12x faster cold starts
 
     import dataclasses
 
