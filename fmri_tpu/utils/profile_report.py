@@ -53,7 +53,14 @@ def _load_xspace(path: str):
 
 def _op_kind(hlo_name: str) -> str:
     """Bucket an HLO instruction name into its op kind:
-    '%convert_reduce_fusion.3 = ...' -> 'convert_reduce_fusion'."""
+    '%convert_reduce_fusion.3 = ...' -> 'convert_reduce_fusion'.
+
+    CAVEAT: fusion kinds are XLA's names for the fused computation's *root*
+    ops, not its dominant work — e.g. a 'divide_subtract_fusion' in a train
+    step can contain an entire weight-grad convolution with the optimizer
+    update fused onto it (measured; docs/design.md §8f).  Before acting on
+    a bucket, confirm against the compiled HLO
+    (``jitted.lower(...).compile().as_text()``)."""
     name = hlo_name.split(" = ")[0].lstrip("%")
     return name.rstrip("0123456789.")
 
