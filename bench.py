@@ -208,9 +208,10 @@ def _vgan_stage3(preset: str) -> float:
     return _vgan_cognitive(preset, 3)
 
 
-def _wae_stage2(preset: str) -> float:
-    """Cognitive WAE (latent alignment): encoder + latent D trained, decoder
-    and teacher frozen (``train_wae_stage2.py``)."""
+def _wae_cognitive(preset: str, stage: int) -> float:
+    """Cognitive WAE: stage 2 = latent alignment (encoder + latent D
+    trained, ``train_wae_stage2.py``); stage 3 = decoder recon fine-tune
+    (decoder + latent D trained, encoder frozen, ``train_wae_stage3.py``)."""
     import jax
 
     from fmri_tpu.configs import get_config
@@ -219,13 +220,15 @@ def _wae_stage2(preset: str) -> float:
     )
 
     cfg = get_config(preset)
-    step = make_wae_cognitive_step(cfg, 2, donate=True)
+    step = make_wae_cognitive_step(cfg, stage, donate=True)
     groups = _cognitive_groups(cfg)
     del groups["discriminator"]  # no image discriminator in the WAE family
     groups["latent_disc"] = init_latent_disc(
         jax.random.key(3), cfg, init_scheme="normal")
     opt = Adam(b1=0.5, b2=0.999)
-    state = make_state(groups, {"encoder": opt, "latent_disc": opt})
+    trained = ("encoder", "latent_disc") if stage == 2 else (
+        "decoder", "latent_disc")
+    state = make_state(groups, {k: opt for k in trained})
     batch = _pair_batch(cfg)
     keys = _prebuilt_keys(WARMUP + ITERS)
     box = [state]
@@ -235,6 +238,14 @@ def _wae_stage2(preset: str) -> float:
         return metrics
 
     return _time_steps(run, "loss_reconstruction", BATCH)
+
+
+def _wae_stage2(preset: str) -> float:
+    return _wae_cognitive(preset, 2)
+
+
+def _wae_stage3(preset: str) -> float:
+    return _wae_cognitive(preset, 3)
 
 
 def _wae_vgan_stage1(preset: str) -> float:
@@ -369,6 +380,7 @@ SUITE = [
     ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
     ("stage3_vgan_res64_bf16", _vgan_stage3, "res64-bf16"),
     ("stage2_wae_res64", _wae_stage2, "res64"),
+    ("stage3_wae_res64", _wae_stage3, "res64"),
     ("inference_stage3_res64_bf16", _inference_stage3, "res64-bf16"),
     ("serving_pipeline_res64_bf16", _serving_pipeline, "res64-bf16"),
 ]
