@@ -378,6 +378,7 @@ SUITE = [
     ("stage1_vgan_res100_bf16", _vgan_stage1, "res100-bf16"),
     ("stage1_wae_vgan_res64_bf16", _wae_vgan_stage1, "res64-bf16"),
     ("stage2_vgan_res64_bf16", _vgan_stage2, "res64-bf16"),
+    ("stage2_vgan_fullbrain_bf16", _vgan_stage2, "fullbrain-bf16"),
     ("stage3_vgan_res64_bf16", _vgan_stage3, "res64-bf16"),
     ("stage2_wae_res64", _wae_stage2, "res64"),
     ("stage3_wae_res64", _wae_stage3, "res64"),

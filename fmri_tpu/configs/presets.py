@@ -187,6 +187,24 @@ def _tiny() -> Config:
     )
 
 
+def _fullbrain() -> Config:
+    """res64 model over a whole-brain voxel vector instead of the padded
+    3,620-voxel ROI concatenation (the reference's production input,
+    ``data_config.py:62-72``).  98,304 voxels is a gray-matter-scale count
+    (BOLD5000 volumes are 69x106x106); it is divisible by every power-of-two
+    mesh model axis up to 32, so the CognitiveEncoder's fc1 kernel
+    [voxels -> hidden] shards cleanly under voxel tensor parallelism
+    (``fmri_tpu.parallel.mesh.cognitive_param_specs`` — the SURVEY §5.7
+    scaling axis).  fc1 is ~100M params (402 MB fp32): comfortable on one
+    v5e, and the TP path exists for configs beyond a single chip's HBM."""
+    base = _res64()
+    return Config(
+        model=dataclasses.replace(base.model, num_voxels=98304),
+        data=dataclasses.replace(base.data, num_voxels=98304),
+        train=base.train,
+    )
+
+
 def _with_bf16(cfg: Config) -> Config:
     return Config(model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
                   data=cfg.data, train=cfg.train)
@@ -195,11 +213,14 @@ def _with_bf16(cfg: Config) -> Config:
 RES64: Config = _res64()
 RES100: Config = _res100()
 TINY: Config = _tiny()
+FULLBRAIN: Config = _fullbrain()
 RES64_BF16: Config = _with_bf16(RES64)
 RES100_BF16: Config = _with_bf16(RES100)
+FULLBRAIN_BF16: Config = _with_bf16(FULLBRAIN)
 
 PRESETS = {"res64": RES64, "res100": RES100, "tiny": TINY,
-           "res64-bf16": RES64_BF16, "res100-bf16": RES100_BF16}
+           "res64-bf16": RES64_BF16, "res100-bf16": RES100_BF16,
+           "fullbrain": FULLBRAIN, "fullbrain-bf16": FULLBRAIN_BF16}
 
 
 def get_config(name: str = "res64") -> Config:

@@ -108,6 +108,29 @@ def test_cognitive_step_voxel_tensor_parallel():
     assert "model" in str(sh.spec)
 
 
+def test_fullbrain_preset_voxel_tp_geometry():
+    """The ``fullbrain`` preset (whole-brain voxel vector, SURVEY §5.7's
+    scaling axis) must shard its CognitiveEncoder fc1 kernel over the model
+    axis for every power-of-two TP degree.  Geometry-only via eval_shape —
+    the real kernel is ~100M params and need not materialize in tests."""
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.parallel.mesh import cognitive_param_specs
+
+    cfg = get_config("fullbrain")
+    assert cfg.model.num_voxels == cfg.data.num_voxels == 98304
+    for tp in (2, 4, 8, 16, 32):
+        assert cfg.model.num_voxels % tp == 0
+    shapes = jax.eval_shape(lambda k: init_cognitive(k, cfg),
+                            jax.random.key(0))
+    fc1 = shapes["params"]["fc1"]["kernel"]
+    assert fc1.shape == (98304, cfg.model.cog_hidden)
+    specs = cognitive_param_specs(shapes["params"])
+    spec = specs["fc1"]["kernel"]
+    assert spec[0] == "model" and spec[1] is None
+    # bf16 twin exists and shares the geometry
+    assert get_config("fullbrain-bf16").model.num_voxels == 98304
+
+
 def test_shard_batch_places_batch_axis():
     mesh = make_mesh()
     x = jnp.zeros((B, 4, 4, 3))
