@@ -287,36 +287,13 @@ def _inference_stage3(preset: str) -> float:
     """Serving path: the stage-3 fMRI->image eval step (CognitiveEncoder ->
     Decoder forward, no grads) — the op the reference's ``inference_gan.py``
     loops (``inference/inference_gan.py:269-307``)."""
-    import jax
-
     from fmri_tpu.configs import get_config
-    from fmri_tpu.train import (
-        RmsProp, init_cognitive, init_vaegan, make_state,
-        make_vgan_cognitive_step,
-    )
+    from fmri_tpu.train import RmsProp, make_state, make_vgan_cognitive_step
 
     cfg = get_config(preset)
-    c = cfg.model
     step = make_vgan_cognitive_step(cfg, stage=3, donate=False)
-    ks = jax.random.split(jax.random.key(0), 2)
-    vg = init_vaegan(ks[0], cfg)
-    cog = init_cognitive(ks[1], cfg)
-    groups = {
-        "encoder": cog,
-        "decoder": {"params": vg["params"]["decoder"],
-                    "batch_stats": vg["batch_stats"]["decoder"]},
-        "discriminator": {"params": vg["params"]["discriminator"],
-                          "batch_stats": vg["batch_stats"]["discriminator"]},
-        "teacher_encoder": {"params": vg["params"]["encoder"],
-                            "batch_stats": vg["batch_stats"]["encoder"]},
-    }
-    state = make_state(groups, {"decoder": RmsProp(clip=1.0)})
-    batch = {
-        "fmri": jax.random.normal(jax.random.key(1), (BATCH, c.num_voxels)),
-        "image": jax.random.uniform(
-            jax.random.key(2), (BATCH, c.image_size, c.image_size, 3),
-            minval=-1.0, maxval=1.0),
-    }
+    state = make_state(_cognitive_groups(cfg), {"decoder": RmsProp(clip=1.0)})
+    batch = _pair_batch(cfg)
     _prebuilt_keys(1)
 
     def run(i):
@@ -331,31 +308,16 @@ def _serving_pipeline(preset: str) -> float:
     preprocess->decode->denormalize->uint8 pipeline at the max bucket,
     device-resident params, scalar-pull sync — the compute row of
     ``benchmarks/serving_latency.py``."""
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from fmri_tpu.configs import get_config
     from fmri_tpu.eval.serve import ServingModel
-    from fmri_tpu.train import (
-        RmsProp, init_cognitive, init_vaegan, make_state,
-    )
+    from fmri_tpu.train import RmsProp, make_state
 
     cfg = get_config(preset)
     c = cfg.model
-    ks = jax.random.split(jax.random.key(0), 2)
-    vg = init_vaegan(ks[0], cfg)
-    cog = init_cognitive(ks[1], cfg)
-    groups = {
-        "encoder": cog,
-        "decoder": {"params": vg["params"]["decoder"],
-                    "batch_stats": vg["batch_stats"]["decoder"]},
-        "discriminator": {"params": vg["params"]["discriminator"],
-                          "batch_stats": vg["batch_stats"]["discriminator"]},
-        "teacher_encoder": {"params": vg["params"]["encoder"],
-                            "batch_stats": vg["batch_stats"]["encoder"]},
-    }
-    state = make_state(groups, {"decoder": RmsProp(clip=1.0)})
+    state = make_state(_cognitive_groups(cfg), {"decoder": RmsProp(clip=1.0)})
     model = ServingModel("vgan", 3, cfg, state, max_batch=BATCH,
                          min_bucket=BATCH, output="uint8")
     x = jnp.asarray(np.random.default_rng(0).normal(
@@ -394,10 +356,12 @@ def main() -> None:
     results = {}
     name, fn, preset = SUITE[0]
     # A preset/variant override measures a non-flagship config: record it
-    # under its own key so the merge below cannot clobber the canonical
-    # machine-captured flagship row in BENCH_SUITE.json.
+    # under the canonical key for that preset (hyphens normalized, so e.g.
+    # FMRI_TPU_BENCH_PRESET=res100-bf16 updates the same
+    # 'stage1_vgan_res100_bf16' row the suite loop writes) — the merge
+    # below must never create a drifting near-duplicate key.
     if os.environ.get("FMRI_TPU_BENCH_PRESET"):
-        name = f"stage1_vgan_{preset}"
+        name = f"stage1_vgan_{preset.replace('-', '_')}"
     variant = os.environ.get("FMRI_TPU_BENCH_VARIANT")
     if variant:
         name = f"{name}_variant_{variant.replace(',', '+')}"

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # for bench.py
@@ -36,18 +35,6 @@ def _flops(jitted, *args) -> float:
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0]
     return float(ca["flops"])
-
-
-def _time(run, sync) -> float:
-    """Seconds per step (median-free simple mean like bench.py)."""
-    for i in range(bench.WARMUP):
-        m = run(i)
-    float(sync(m))
-    t0 = time.perf_counter()
-    for i in range(bench.ITERS):
-        m = run(bench.WARMUP + i)
-    float(sync(m))
-    return (time.perf_counter() - t0) / bench.ITERS
 
 
 def _vgan_stage1(preset):
@@ -77,8 +64,7 @@ def _vgan_stage1(preset):
         box[0], m = step.train_step(box[0], x, keys[i], *g)
         return m
 
-    return step.train_step, (state, x, keys[0], *g), run, \
-        lambda m: m["loss_encoder"]
+    return step.train_step, (state, x, keys[0], *g), run, "loss_encoder"
 
 
 def _wae_stage1(preset):
@@ -108,8 +94,7 @@ def _wae_stage1(preset):
         box[0], m = step.train_step(box[0], x, keys[i])
         return m
 
-    return step.train_step, (state, x, keys[0]), run, \
-        lambda m: m["loss_reconstruction"]
+    return step.train_step, (state, x, keys[0]), run, "loss_reconstruction"
 
 
 def _wae_vgan_stage1(preset):
@@ -141,8 +126,7 @@ def _wae_vgan_stage1(preset):
         box[0], m = step.train_step(box[0], x, keys[i], *g)
         return m
 
-    return step.train_step, (state, x, keys[0], *g), run, \
-        lambda m: m["loss_reconstruction"]
+    return step.train_step, (state, x, keys[0], *g), run, "loss_reconstruction"
 
 
 def _vgan_cognitive(preset, stage):
@@ -166,8 +150,7 @@ def _vgan_cognitive(preset, stage):
         box[0], m = step.train_step(box[0], batch, keys[i], *g)
         return m
 
-    return step.train_step, (state, batch, keys[0], *g), run, \
-        lambda m: m["loss_encoder"]
+    return step.train_step, (state, batch, keys[0], *g), run, "loss_encoder"
 
 
 def _wae_stage2(preset):
@@ -194,8 +177,7 @@ def _wae_stage2(preset):
         box[0], m = step.train_step(box[0], batch, keys[i])
         return m
 
-    return step.train_step, (state, batch, keys[0]), run, \
-        lambda m: m["loss_reconstruction"]
+    return step.train_step, (state, batch, keys[0]), run, "loss_reconstruction"
 
 
 FAMILIES = [
@@ -214,12 +196,16 @@ def main(argv=None) -> int:
     ap.add_argument("--json", default=None, help="append JSONL here")
     args = ap.parse_args(argv)
 
+    from fmri_tpu.utils.compile_cache import enable as _compile_cache
+    _compile_cache()  # the AOT cost-analysis compile then serves the run too
+
     rows = []
     for name, build, preset_override in FAMILIES:
         preset = preset_override or args.preset
-        jitted, ex_args, run, sync = build(preset)
+        jitted, ex_args, run, sync_key = build(preset)
         flops = _flops(jitted, *ex_args)
-        sec = _time(run, sync)
+        # same timing harness as the bench suite (host-pull sync discipline)
+        sec = bench.BATCH / bench._time_steps(run, sync_key, bench.BATCH)
         tfs = flops / sec / 1e12
         roof = bench.BATCH / (flops / (BF16_PEAK_TFS * 1e12))
         row = {

@@ -246,8 +246,10 @@ class ServingModel:
         if generate:
             with self._lock:
                 for b in self.buckets:
-                    imgs, self._gen_rng = self._gen(self.state,
-                                                    self._gen_rng, b)
+                    # Discard the returned key: warmup must not advance the
+                    # sampling stream, or generate() outputs would depend on
+                    # warmup/bucket count instead of the seed alone.
+                    imgs, _ = self._gen(self.state, self._gen_rng, b)
                 np.asarray(imgs)  # completion sync
 
     def reconstruct(self, x) -> "np.ndarray":
@@ -569,8 +571,9 @@ def main(argv=None) -> int:
     if not args.no_warmup:
         t0 = time.monotonic()
         model.warmup()
-        print(f"warmup: {len(model.buckets)} buckets compiled in "
-              f"{time.monotonic() - t0:.1f}s", flush=True)
+        print(f"warmup: {2 * len(model.buckets)} programs "
+              f"({len(model.buckets)} buckets x reconstruct+generate) "
+              f"compiled in {time.monotonic() - t0:.1f}s", flush=True)
     batcher = BatchingServer(model, max_wait_ms=args.max_wait_ms)
     srv = make_socket_server(batcher, unix_path=args.unix_socket,
                              host=args.host, port=args.port)

@@ -34,18 +34,19 @@ def enable(path: Optional[str] = None) -> Optional[str]:
     env = os.environ.get("FMRI_TPU_COMPILE_CACHE")
     if env is not None and env.lower() in ("0", "false", "no", "off"):
         return None
-    # Default-on only for the TPU path: XLA:CPU cache entries are AOT
-    # machine-code whose feature flags are host-specific (reloading logs
-    # SIGILL warnings on feature mismatch), and CPU compiles are fast
-    # anyway.  An explicit env value or path still enables it on CPU.
-    if (env is None and path is None
-            and os.environ.get("FMRI_TPU_PLATFORM", "").lower().startswith("cpu")):
-        return None
-    cache_dir = path or env or os.path.join(
-        os.path.expanduser("~"), ".cache", "fmri_tpu", "xla")
     try:
         import jax
 
+        # Default-on only for non-CPU backends: XLA:CPU cache entries are
+        # AOT machine code whose feature flags are host-specific (reloading
+        # logs SIGILL warnings on feature mismatch), and CPU compiles are
+        # fast anyway.  An explicit env value or path still opts in on CPU.
+        # Callers (the CLIs) invoke this after their platform override, so
+        # the resolved default backend is the real decision input.
+        if env is None and path is None and jax.default_backend() == "cpu":
+            return None
+        cache_dir = path or env or os.path.join(
+            os.path.expanduser("~"), ".cache", "fmri_tpu", "xla")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache EVERYTHING: the eager-init warmup is hundreds of sub-second

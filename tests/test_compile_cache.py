@@ -14,10 +14,10 @@ import sys
 
 _PROG = """
 import jax
+jax.config.update("jax_platforms", "cpu")
 from fmri_tpu.utils.compile_cache import enable
 d = enable()
 print("DIR=" + repr(d))
-jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 print(float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))))
 """
@@ -51,7 +51,9 @@ def test_cache_disabled(tmp_path):
 
 
 def test_cache_default_off_on_cpu(tmp_path):
-    """With FMRI_TPU_PLATFORM=cpu and no explicit opt-in, the cache stays
+    """On a resolved CPU backend with no explicit opt-in, the cache stays
     off (XLA:CPU AOT entries are host-feature-specific; the win is the
-    tunneled TPU's server-side compiles)."""
+    tunneled TPU's server-side compiles).  The guard keys on
+    ``jax.default_backend()``, not env vars, so it holds on plain CPU-only
+    installs too."""
     assert _run(None, tmp_path) is None

@@ -118,8 +118,12 @@ def test_warmup_covers_generate(stage2_ckpt):
     m.warmup()
     assert m._pipeline._cache_size() == len(m.buckets)
     assert m._gen._cache_size() == len(m.buckets)
-    m.generate(3)
+    a = m.generate(3)
     assert m._gen._cache_size() == len(m.buckets)   # steady state: no compile
+    # warmup must not perturb the sampling stream: a no-warmup server with
+    # the same seed generates the same images
+    m2 = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4)
+    np.testing.assert_array_equal(m2.generate(3), a)
 
 
 def test_image_kind_serving(ckpts):
