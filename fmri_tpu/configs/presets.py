@@ -223,6 +223,22 @@ PRESETS = {"res64": RES64, "res100": RES100, "tiny": TINY,
            "fullbrain": FULLBRAIN, "fullbrain-bf16": FULLBRAIN_BF16}
 
 
+def override_num_voxels(cfg: Config, n: int) -> Config:
+    """Apply a measured voxel count to both the model and data configs.
+
+    The reference sizes the CognitiveEncoder from the data, not a config
+    constant (``train_vgan_stage2.py:182``); this is the equivalent for
+    CLI-driven runs whose masks/ROIs produce a count no preset names
+    (the ``--num-voxels`` flag on train/inference/serve)."""
+    if n < 1:
+        raise ValueError(f"num_voxels must be >= 1, got {n}")
+    return Config(
+        model=dataclasses.replace(cfg.model, num_voxels=n),
+        data=dataclasses.replace(cfg.data, num_voxels=n),
+        train=cfg.train,
+    )
+
+
 def get_config(name: str = "res64") -> Config:
     try:
         return PRESETS[name]

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", "-o", default="inference_out")
     p.add_argument("--logs", "-l", default=None, help="unused; CLI parity")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-voxels", type=int, default=None,
+                   help="override the preset's fMRI voxel count (must match "
+                        "the checkpoint's CognitiveEncoder)")
     p.add_argument("--max-batches", type=int, default=0, help="0 = all")
     p.add_argument("--no-evaluate", action="store_true",
                    help="skip metrics; just reconstruct + save images")
@@ -112,6 +115,10 @@ def main(argv=None) -> int:
     if args.batch_size:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
+    if args.num_voxels is not None:
+        from fmri_tpu.configs.presets import override_num_voxels
+
+        cfg = override_num_voxels(cfg, args.num_voxels)
 
     eval_step, data_kind = make_eval_step(args.family, args.stage, cfg)
     state, meta = load_eval_state(args.ckpt, epoch=args.load_epoch)

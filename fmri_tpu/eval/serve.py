@@ -319,11 +319,16 @@ class ServingModel:
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, family: str, stage: int,
                         preset: str = "res64", *, epoch: Optional[int] = None,
+                        num_voxels: Optional[int] = None,
                         **kw) -> "ServingModel":
         from fmri_tpu.checkpoints.store import load_eval_state
         from fmri_tpu.configs import get_config
 
         cfg = get_config(preset)
+        if num_voxels is not None:
+            from fmri_tpu.configs.presets import override_num_voxels
+
+            cfg = override_num_voxels(cfg, num_voxels)
         state, _meta = load_eval_state(ckpt_dir, epoch=epoch)
         return cls(family, stage, cfg, state, **kw)
 
@@ -522,6 +527,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default="res64")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--load-epoch", type=int, default=None)
+    p.add_argument("--num-voxels", type=int, default=None,
+                   help="override the preset's fMRI voxel count (must match "
+                        "the checkpoint's CognitiveEncoder)")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--min-bucket", type=int, default=1,
                    help="smallest compiled batch bucket (fewer compiles on "
@@ -565,7 +573,8 @@ def main(argv=None) -> int:
         mesh = make_mesh()
     model = ServingModel.from_checkpoint(
         args.ckpt, args.family, args.stage, args.preset,
-        epoch=args.load_epoch, max_batch=args.max_batch,
+        epoch=args.load_epoch, num_voxels=args.num_voxels,
+        max_batch=args.max_batch,
         min_bucket=args.min_bucket, sample=args.sample, seed=args.seed,
         mesh=mesh, voxel_tp=voxel_tp, output=args.output)
     if not args.no_warmup:

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epoch to load from --prev-ckpt (default latest)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-voxels", type=int, default=None,
+                   help="override the preset's fMRI voxel count (the "
+                        "reference measures it from the data, "
+                        "train_vgan_stage2.py:182 — use for masks/ROIs no "
+                        "preset names)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--no-teacher", action="store_true",
@@ -284,6 +289,10 @@ def main(argv=None) -> int:
         overrides["seed"] = args.seed
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(tr, **overrides))
+    if args.num_voxels is not None:
+        from fmri_tpu.configs.presets import override_num_voxels
+
+        cfg = override_num_voxels(cfg, args.num_voxels)
 
     if args.family == "exp":
         if not args.exp:

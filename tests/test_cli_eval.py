@@ -51,6 +51,29 @@ def test_train_cli_artifacts(trained_run):
     assert float(rows[0]["loss_encoder"]) == float(rows[0]["loss_encoder"])  # not NaN
 
 
+def test_train_cli_num_voxels_override(trained_run, tmp_path):
+    """--num-voxels: a stage-2 cognitive run over a voxel count no preset
+    names (the reference sizes the encoder from the data,
+    ``train_vgan_stage2.py:182``).  The stage-1 checkpoint grafts unchanged
+    — decoder/discriminator/teacher shapes are voxel-independent."""
+    out = str(tmp_path / "nv")
+    ckpt = os.path.join(trained_run, "checkpoints")
+    r = subprocess.run(
+        [sys.executable, "-m", "fmri_tpu.train.run", "--family", "vgan",
+         "--stage", "2", "--preset", "tiny", "--dataset", "synthetic",
+         "--num-voxels", "96", "--epochs", "1", "--prev-ckpt", ckpt,
+         "-o", out],
+        capture_output=True, text=True, env=_env(), timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    cfgs = [os.path.join(root, "config.json")
+            for root, _dirs, files in os.walk(out) if "config.json" in files]
+    assert len(cfgs) == 1
+    with open(cfgs[0]) as f:
+        dumped = json.load(f)
+    assert dumped["model"]["num_voxels"] == 96
+    assert dumped["data"]["num_voxels"] == 96
+
+
 def test_inference_cli(trained_run, tmp_path):
     out = str(tmp_path / "inf")
     r = subprocess.run(
