@@ -37,6 +37,8 @@ Protocol (one JSON object per line, both directions)::
 
 Stage-1 checkpoints (image->image autoencoding) are also servable: the
 request key becomes ``"image"`` with a flat HWC float list in [0, 1].
+A numpy client for this protocol (connection-pool fan-out so the
+microbatcher sees concurrent requests) lives in ``fmri_tpu.eval.client``.
 
 Scale-out: ``--data-parallel`` shards every bucket's batch axis over all
 local devices; ``--mesh data=N,model=M`` additionally turns on voxel tensor

@@ -374,6 +374,41 @@ def test_socket_protocol(model, tmp_path):
         batcher.close()
 
 
+def test_serve_client(model, tmp_path):
+    """fmri_tpu.eval.client.ServeClient: numpy API over the NDJSON socket —
+    batch fan-out over the connection pool, order preservation, generate,
+    stats, and error surfacing."""
+    from fmri_tpu.eval.client import ServeClient, ServeError
+
+    path = str(tmp_path / "client.sock")
+    batcher = BatchingServer(model, max_wait_ms=2.0)
+    srv = make_socket_server(batcher, unix_path=path)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with ServeClient(unix_path=path, pool=4) as c:
+            assert c.ping()
+            rng = np.random.default_rng(3)
+            x = rng.normal(size=(5, *model.sample_shape())).astype(np.float32)
+            imgs = c.reconstruct(x)
+            s = model.cfg.model.image_size
+            assert imgs.shape == (5, s, s, 3) and imgs.dtype == np.uint8
+            # order-preserving and equal to the direct path per sample
+            want = np.clip(model.reconstruct(x) * 255.0 + 0.5,
+                           0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(imgs, want)
+            single = c.reconstruct(x[2])
+            np.testing.assert_array_equal(single, want[2])
+            gen = c.generate(3)
+            assert gen.shape == (3, s, s, 3) and gen.dtype == np.uint8
+            assert c.stats()["requests"] >= 6
+            with pytest.raises(ServeError):
+                c.reconstruct(np.zeros(7, np.float32))  # wrong voxel count
+    finally:
+        srv.shutdown()
+        batcher.close()
+
+
 def test_serve_cli(stage2_ckpt, tmp_path):
     """End-to-end: spawn the CLI server, round-trip one request."""
     d2, cfg = stage2_ckpt
