@@ -32,6 +32,10 @@ BASELINE_IMGS_PER_SEC = 1500.0  # estimated CUDA reference (see module docstring
 BATCH = 256
 WARMUP = 3
 ITERS = 20
+# sub-ms rows (inference/serving pipelines) average many more dispatches so
+# the tunnel's RTT jitter doesn't dominate; module-level so tests can patch
+SYNC_WARMUP = 5
+SYNC_ITERS = 100
 
 
 def _prebuilt_keys(n: int):
@@ -300,7 +304,8 @@ def _inference_stage3(preset: str) -> float:
         recon = step.eval_step(state, batch, None)
         return {"sync": recon[0, 0, 0, 0]}
 
-    return _time_steps(run, "sync", BATCH)
+    return _time_steps(run, "sync", BATCH, warmup=SYNC_WARMUP,
+                       iters=SYNC_ITERS)
 
 
 def _serving_pipeline(preset: str) -> float:
@@ -327,7 +332,8 @@ def _serving_pipeline(preset: str) -> float:
         out, _ = model._pipeline(model.state, x, None)
         return {"sync": out[0, 0, 0, 0]}
 
-    return _time_steps(run, "sync", BATCH)
+    return _time_steps(run, "sync", BATCH, warmup=SYNC_WARMUP,
+                       iters=SYNC_ITERS)
 
 
 # (name, measure fn, preset) — flagship FIRST: its JSON line is the driver

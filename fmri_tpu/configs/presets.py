@@ -187,6 +187,21 @@ def _tiny() -> Config:
     )
 
 
+def override_num_voxels(cfg: Config, n: int) -> Config:
+    """Apply a measured voxel count to both the model and data configs.
+
+    The reference sizes the CognitiveEncoder from the data, not a config
+    constant (``train_vgan_stage2.py:182``); this is the equivalent for
+    CLI-driven runs whose masks/ROIs produce a count no preset names
+    (the ``--num-voxels`` flag on train/inference/serve)."""
+    if n < 1:
+        raise ValueError(f"num_voxels must be >= 1, got {n}")
+    return cfg.replace(
+        model=dataclasses.replace(cfg.model, num_voxels=n),
+        data=dataclasses.replace(cfg.data, num_voxels=n),
+    )
+
+
 def _fullbrain() -> Config:
     """res64 model over a whole-brain voxel vector instead of the padded
     3,620-voxel ROI concatenation (the reference's production input,
@@ -197,12 +212,7 @@ def _fullbrain() -> Config:
     (``fmri_tpu.parallel.mesh.cognitive_param_specs`` — the SURVEY §5.7
     scaling axis).  fc1 is ~100M params (402 MB fp32): comfortable on one
     v5e, and the TP path exists for configs beyond a single chip's HBM."""
-    base = _res64()
-    return Config(
-        model=dataclasses.replace(base.model, num_voxels=98304),
-        data=dataclasses.replace(base.data, num_voxels=98304),
-        train=base.train,
-    )
+    return override_num_voxels(_res64(), 98304)
 
 
 def _with_bf16(cfg: Config) -> Config:
@@ -221,22 +231,6 @@ FULLBRAIN_BF16: Config = _with_bf16(FULLBRAIN)
 PRESETS = {"res64": RES64, "res100": RES100, "tiny": TINY,
            "res64-bf16": RES64_BF16, "res100-bf16": RES100_BF16,
            "fullbrain": FULLBRAIN, "fullbrain-bf16": FULLBRAIN_BF16}
-
-
-def override_num_voxels(cfg: Config, n: int) -> Config:
-    """Apply a measured voxel count to both the model and data configs.
-
-    The reference sizes the CognitiveEncoder from the data, not a config
-    constant (``train_vgan_stage2.py:182``); this is the equivalent for
-    CLI-driven runs whose masks/ROIs produce a count no preset names
-    (the ``--num-voxels`` flag on train/inference/serve)."""
-    if n < 1:
-        raise ValueError(f"num_voxels must be >= 1, got {n}")
-    return Config(
-        model=dataclasses.replace(cfg.model, num_voxels=n),
-        data=dataclasses.replace(cfg.data, num_voxels=n),
-        train=cfg.train,
-    )
 
 
 def get_config(name: str = "res64") -> Config:

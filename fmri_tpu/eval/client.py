@@ -57,6 +57,13 @@ class _Conn:
         resp = json.loads(line)
         if isinstance(resp, dict) and "error" in resp:
             raise ServeError(resp["error"])
+        # Reject a stale reply (e.g. the buffered answer to a request whose
+        # read timed out earlier): a desynchronized stream must fail loudly,
+        # never hand request B the image of request A.
+        if "id" in obj and resp.get("id") != obj["id"]:
+            raise ConnectionError(
+                f"response id {resp.get('id')!r} != request id {obj['id']!r} "
+                "(connection desynchronized)")
         return resp
 
     def close(self) -> None:
@@ -68,7 +75,9 @@ class _Conn:
 
 def _decode_image(resp: Dict) -> np.ndarray:
     data = base64.b64decode(resp["data"])
-    return np.frombuffer(data, np.uint8).reshape(resp["shape"])
+    # .copy(): frombuffer over bytes is read-only; callers expect a normal
+    # writable array (reconstruct's np.stack output already is)
+    return np.frombuffer(data, np.uint8).reshape(resp["shape"]).copy()
 
 
 class ServeClient:
@@ -86,22 +95,46 @@ class ServeClient:
         self._address = unix_path if unix_path else (host, int(port))
         self._timeout = float(timeout)
         self._pool_size = max(1, int(pool))
-        self._conns: List[_Conn] = []
+        self._conns: Dict[int, _Conn] = {}
         self._plock = threading.Lock()
 
     # -- pool ---------------------------------------------------------------
 
     def _conn(self, i: int) -> _Conn:
+        key = i % self._pool_size
         with self._plock:
-            while len(self._conns) <= i % self._pool_size:
-                self._conns.append(_Conn(self._address, self._timeout))
-            return self._conns[i % self._pool_size]
+            c = self._conns.get(key)
+        if c is not None:
+            return c
+        # connect OUTSIDE the pool lock: pool establishment must be
+        # parallel, not serialized behind each (timeout-bounded) connect
+        c = _Conn(self._address, self._timeout)
+        with self._plock:
+            cur = self._conns.get(key)
+            if cur is not None:  # lost a benign create race
+                c.close()
+                return cur
+            self._conns[key] = c
+            return c
+
+    def _rpc(self, i: int, obj: Dict) -> Dict:
+        """rpc through pooled connection ``i % pool``; a connection that
+        raises is evicted (its stream may hold a stale reply)."""
+        conn = self._conn(i)
+        try:
+            return conn.rpc(obj)
+        except BaseException:
+            with self._plock:
+                if self._conns.get(i % self._pool_size) is conn:
+                    del self._conns[i % self._pool_size]
+            conn.close()
+            raise
 
     def close(self) -> None:
         with self._plock:
-            for c in self._conns:
+            for c in self._conns.values():
                 c.close()
-            self._conns = []
+            self._conns = {}
 
     def __enter__(self) -> "ServeClient":
         return self
@@ -112,21 +145,20 @@ class ServeClient:
     # -- commands -----------------------------------------------------------
 
     def ping(self) -> bool:
-        return bool(self._conn(0).rpc({"cmd": "ping"}).get("ok"))
+        return bool(self._rpc(0, {"cmd": "ping"}).get("ok"))
 
     def stats(self) -> Dict:
-        return self._conn(0).rpc({"cmd": "stats"})
+        return self._rpc(0, {"cmd": "stats"})
 
     def reload(self, ckpt_dir: str, epoch: Optional[int] = None) -> Dict:
         req = {"cmd": "reload", "ckpt": ckpt_dir}
         if epoch is not None:
             req["epoch"] = epoch
-        return self._conn(0).rpc(req)
+        return self._rpc(0, req)
 
     def generate(self, n: int) -> np.ndarray:
         """Sample ``n`` images from the prior -> [n, H, W, 3] uint8."""
-        return _decode_image(self._conn(0).rpc({"cmd": "generate",
-                                                "n": int(n)}))
+        return _decode_image(self._rpc(0, {"cmd": "generate", "n": int(n)}))
 
     def reconstruct(self, x, *, key: str = "fmri") -> np.ndarray:
         """One sample ([V] / [H,W,3]) or a batch ([N, ...]) -> uint8 images.
@@ -137,6 +169,10 @@ class ServeClient:
         image autoencode) servers.
         """
         x = np.asarray(x, np.float32)
+        if x.ndim not in (1, 2, 3, 4):
+            raise ValueError(
+                f"expected a sample ([V] / [H,W,3]) or a batch ([N, ...]), "
+                f"got shape {x.shape}")
         single = x.ndim in (1, 3)
         if single:
             x = x[None]
@@ -147,8 +183,8 @@ class ServeClient:
         errors: List[BaseException] = []
 
         def send(i: int, conn_idx: int) -> None:
-            resp = self._conn(conn_idx).rpc(
-                {"id": i, key: x[i].reshape(-1).tolist()})
+            resp = self._rpc(conn_idx,
+                             {"id": i, key: x[i].reshape(-1).tolist()})
             out[i] = _decode_image(resp)
 
         n_workers = min(self._pool_size, len(x))

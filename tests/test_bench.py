@@ -21,9 +21,12 @@ import bench  # noqa: E402
 @pytest.fixture(autouse=True)
 def _small_batch(monkeypatch):
     # _time_steps' warmup/iters defaults bound at import (3 + 20 = 23 steps);
-    # BATCH and the key count are read at call time, so patching BATCH alone
-    # keeps the builder internals consistent.
+    # BATCH, the SYNC_* constants and the key count are read at call time,
+    # so patching them keeps the builder internals consistent while keeping
+    # the smoke cheap (the sub-ms rows run 105 dispatches on the TPU).
     monkeypatch.setattr(bench, "BATCH", 4)
+    monkeypatch.setattr(bench, "SYNC_WARMUP", 1)
+    monkeypatch.setattr(bench, "SYNC_ITERS", 3)
 
 
 @pytest.mark.parametrize("name,fn", [(n, f) for n, f, _preset in bench.SUITE])
