@@ -18,6 +18,12 @@ fans samples over a small connection pool (``pool`` connections, default
 8) — concurrent in-flight requests are what the server's dynamic
 microbatcher coalesces into big TPU batches.  Stdlib + numpy only; no jax
 import (usable from any CPU-only client process).
+
+Scope: this is the online-serving path (low-latency request/response over
+JSON text).  For bulk offline reconstruction of a whole dataset, prefer the
+in-process batch API (``fmri_tpu.eval.inference`` /
+``ServingModel.reconstruct``) — it skips the JSON+base64 transport
+entirely.
 """
 
 from __future__ import annotations
