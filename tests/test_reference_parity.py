@@ -1,0 +1,232 @@
+"""Parity against the ACTUAL reference implementation (not a re-built oracle).
+
+``tests/test_torch_import.py`` verifies checkpoint conversion against torch
+modules re-implemented from SURVEY.md §2.1.  These tests go one step
+further where the environment allows it: they import the reference's own
+``models/vae_gan.py`` from ``/root/reference`` (read-only; executed, never
+copied), instantiate its composites at the repo's checked-in config (the
+res100 block of ``configs/models_config.py``), and assert that
+
+  * a converted state_dict reproduces the reference encoder / decoder /
+    discriminator forward outputs exactly (eval mode, running stats ticked
+    by real train-mode passes), and
+  * the reference's static ``VaeGan.loss`` and this framework's
+    ``vaegan_terms`` compute identical values on identical inputs.
+
+This eliminates the residual risk of the re-built oracles sharing a
+misreading of the reference.  Skipped when ``/root/reference`` is absent.
+The reference's dead ``ResNetEncoder`` import needs torchvision, which this
+environment lacks — a stub module satisfies the import (the class is never
+instantiated; ``vae_gan.py:245`` keeps it commented out).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package (with a torchvision stub) and build a
+    seeded VaeGan whose BatchNorm running stats were ticked by genuine
+    train-mode forwards."""
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvm.resnet152 = None  # dead code upstream (vae_gan.py:245)
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    sys.path.insert(0, REF)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # legacy nn.init.uniform etc.
+            import configs.models_config as ref_cfg
+            from models import vae_gan as ref_models
+
+            torch.manual_seed(8)  # the reference's seed (train_vgan_stage1.py:29)
+            model = ref_models.VaeGan(device="cpu",
+                                      z_size=ref_cfg.latent_dim,
+                                      recon_level=3)
+            with torch.no_grad():
+                model.train()
+                for _ in range(2):  # tick BN running stats for real
+                    model(torch.randn(4, 3, ref_cfg.image_size,
+                                      ref_cfg.image_size))
+                model.eval()
+    finally:
+        sys.path.remove(REF)
+    return ref_models, ref_cfg, model
+
+
+@pytest.fixture(scope="module")
+def converted(ref):
+    from fmri_tpu.checkpoints.torch_import import convert_state_dict
+    from fmri_tpu.configs import get_config
+
+    _ref_models, ref_cfg, model = ref
+    assert ref_cfg.image_size == 100, "reference repo pins the res100 block"
+    cfg = get_config("res100")
+    return cfg, convert_state_dict(
+        {k: v for k, v in model.state_dict().items()}, cfg, kind="vae-gan")
+
+
+def _images(cfg, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    s = cfg.model.image_size
+    return rng.uniform(-1, 1, (n, s, s, 3)).astype(np.float32)
+
+
+def _nchw(x):
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+def test_encoder_forward_matches_reference(ref, converted):
+    import torch
+
+    from fmri_tpu.models import VisualEncoder
+
+    _, _, model = ref
+    cfg, groups = converted
+    x = _images(cfg)
+    with torch.no_grad():
+        mu_t, lv_t = model.encoder(_nchw(x))
+    g = groups["encoder"]
+    mu_j, lv_j = VisualEncoder(cfg.model).apply(
+        {"params": g["params"], "batch_stats": g["batch_stats"]},
+        x, train=False)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(), atol=2e-4)
+
+
+def test_decoder_forward_matches_reference(ref, converted):
+    import torch
+
+    from fmri_tpu.models import Decoder
+
+    _, ref_cfg, model = ref
+    cfg, groups = converted
+    z = np.random.default_rng(1).normal(
+        size=(4, ref_cfg.latent_dim)).astype(np.float32)
+    with torch.no_grad():
+        out_t = model.decoder(torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
+    g = groups["decoder"]
+    out_j = Decoder(cfg.model).apply(
+        {"params": g["params"], "batch_stats": g["batch_stats"]},
+        z, train=False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=5e-4)
+
+
+def test_discriminator_matches_reference(ref, converted):
+    """GAN scores over the reference's 3-way concat batch match elementwise;
+    the REC feature-matching term matches through the loss (each framework
+    flattens the tap in its own channel order — a fixed permutation shared
+    by the 'original' and 'predicted' rows, so the summed MSE is invariant)."""
+    import torch
+
+    from fmri_tpu.models import ImageDiscriminator
+
+    _, _, model = ref
+    cfg, groups = converted
+    x0, x1, x2 = (_images(cfg, seed=s) for s in (10, 11, 12))
+    with torch.no_grad():
+        score_t = model.discriminator(
+            _nchw(x0), _nchw(x1), _nchw(x2), "GAN").numpy()
+        layer_t = model.discriminator(
+            _nchw(x0), _nchw(x1), _nchw(x2), "REC").numpy()
+    g = groups["discriminator"]
+    tap_j, score_j = ImageDiscriminator(cfg.model).apply(
+        {"params": g["params"], "batch_stats": g["batch_stats"]},
+        np.concatenate([x0, x1, x2]), train=False)
+    np.testing.assert_allclose(np.asarray(score_j), score_t, atol=2e-4)
+
+    b = len(x0)
+    mse_t = np.sum(0.5 * (layer_t[:b] - layer_t[b:2 * b]) ** 2, axis=1)
+    tap_j = np.asarray(tap_j)
+    mse_j = np.sum(0.5 * (tap_j[:b] - tap_j[b:2 * b]) ** 2, axis=1)
+    np.testing.assert_allclose(mse_j, mse_t, rtol=2e-4)
+
+
+def test_loss_algebra_matches_reference(ref):
+    """The reference's static VaeGan.loss vs fmri_tpu's vaegan_terms on
+    identical inputs: all six terms equal (vae_gan.py:302-320)."""
+    import torch
+
+    from fmri_tpu.losses.gan_losses import vaegan_terms
+
+    ref_models, ref_cfg, _ = ref
+    rng = np.random.default_rng(5)
+    s = ref_cfg.image_size
+    x = rng.uniform(-1, 1, (4, s, s, 3)).astype(np.float32)
+    xt = rng.uniform(-1, 1, (4, s, s, 3)).astype(np.float32)
+    f = 64
+    dlo, dlp, dls = (rng.normal(size=(4, f)).astype(np.float32)
+                     for _ in range(3))
+    dco, dcp, dcs = (rng.uniform(0.05, 0.95, (4, 1)).astype(np.float32)
+                     for _ in range(3))
+    mus = rng.normal(size=(4, ref_cfg.latent_dim)).astype(np.float32)
+    lvs = rng.normal(size=(4, ref_cfg.latent_dim)).astype(np.float32)
+
+    t = lambda a: torch.from_numpy(a)
+    nle_t, kl_t, mse_t, bo_t, bp_t, bs_t = ref_models.VaeGan.loss(
+        t(x), t(xt), t(dlo), t(dlp), t(dls), t(dco), t(dcp), t(dcs),
+        t(mus), t(lvs))
+
+    ours = vaegan_terms(x, xt, dlo, dlp, dco, dcp, dcs, mus, lvs)
+    np.testing.assert_allclose(np.asarray(ours.nle), nle_t.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.kld), kl_t.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.mse), mse_t.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.bce_dis_original),
+                               bo_t.numpy().reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.bce_dis_predicted),
+                               bp_t.numpy().reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.bce_dis_sampled),
+                               bs_t.numpy().reshape(-1), rtol=1e-6)
+
+
+def test_cognitive_encoder_matches_reference(ref):
+    """The reference CognitiveEncoder (vae_gan.py:190-232) vs the converted
+    fmri_tpu module, at the production 3,620-voxel input."""
+    import torch
+
+    from fmri_tpu.checkpoints.torch_import import convert_cognitive_encoder
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.models import CognitiveEncoder
+
+    ref_models, ref_cfg, _ = ref
+    cfg = get_config("res100")
+    torch.manual_seed(3)
+    tc = ref_models.CognitiveEncoder(input_size=cfg.model.num_voxels,
+                                     z_size=ref_cfg.latent_dim)
+    with torch.no_grad():
+        tc.train()
+        tc(torch.randn(4, cfg.model.num_voxels))  # tick BN stats
+        tc.eval()
+    g = convert_cognitive_encoder(
+        {f"encoder.{k}": v for k, v in tc.state_dict().items()},
+        cfg, prefix="encoder.")
+    v = np.random.default_rng(2).normal(
+        size=(4, cfg.model.num_voxels)).astype(np.float32)
+    with torch.no_grad():
+        mu_t, lv_t = tc(torch.from_numpy(v))
+    mu_j, lv_j = CognitiveEncoder(cfg.model).apply(
+        {"params": g["params"], "batch_stats": g["batch_stats"]},
+        v, train=False)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(), atol=2e-4)
