@@ -200,6 +200,31 @@ def test_loss_algebra_matches_reference(ref):
                                bs_t.numpy().reshape(-1), rtol=1e-6)
 
 
+def test_wae_discriminator_matches_reference(ref):
+    """The reference's latent WaeDiscriminator (vae_gan.py:499-529, N(0,.01)
+    ctor init) vs the converted LatentDiscriminator."""
+    import torch
+
+    from fmri_tpu.checkpoints.torch_import import convert_latent_discriminator
+    from fmri_tpu.configs import get_config
+    from fmri_tpu.models import LatentDiscriminator
+
+    ref_models, ref_cfg, _ = ref
+    cfg = get_config("res100")
+    torch.manual_seed(4)
+    tw = ref_models.WaeDiscriminator(z_size=ref_cfg.latent_dim,
+                                     dim_h=cfg.model.wae_disc_hidden).eval()
+    g = convert_latent_discriminator(
+        {f"discriminator.{k}": v for k, v in tw.state_dict().items()},
+        prefix="discriminator.")
+    z = np.random.default_rng(6).normal(
+        size=(4, ref_cfg.latent_dim)).astype(np.float32)
+    with torch.no_grad():
+        s_t = tw(torch.from_numpy(z)).numpy()
+    s_j = LatentDiscriminator(cfg.model).apply({"params": g["params"]}, z)
+    np.testing.assert_allclose(np.asarray(s_j), s_t, atol=1e-5)
+
+
 def test_cognitive_encoder_matches_reference(ref):
     """The reference CognitiveEncoder (vae_gan.py:190-232) vs the converted
     fmri_tpu module, at the production 3,620-voxel input."""
