@@ -318,8 +318,15 @@ class VoxelDecoder(nn.Module):
 class WaeDecoder(nn.Module):
     """Alternate wide (1024-channel) decoder — **dead code in the reference**
     (``vae_gan.py:625-655``, only a commented call site at ``:446``), kept for
-    capability parity: Dense(z -> 16*16*1024) + BN + ReLU -> DecoderBlocks
-    1024->512->256->128 -> Conv(->3) + Tanh."""
+    capability parity: Dense(z -> fc_input^2 * 1024) + BN + ReLU ->
+    DecoderBlocks 1024->512->256->128 -> Conv(->3) + Tanh.
+
+    Deliberate fix vs upstream: the reference hard-codes the fc width to
+    ``16*16*1024`` (``:630``) but reshapes to ``config.fc_input`` (=13 at
+    its checked-in res100 config, ``:650``) — its forward raises a reshape
+    error at its own config (verified by executing the class,
+    ``tests/test_reference_parity.py``).  Here the fc width follows
+    ``fc_input`` so the module is usable at every preset."""
 
     cfg: ModelConfig
 

@@ -225,6 +225,23 @@ def test_wae_discriminator_matches_reference(ref):
     np.testing.assert_allclose(np.asarray(s_j), s_t, atol=1e-5)
 
 
+def test_reference_wae_decoder_is_broken_upstream(ref):
+    """Documents (and pins) an upstream inconsistency: the dead-code
+    WaeDecoder (vae_gan.py:625-655) hard-codes a 16*16*1024 fc but reshapes
+    to config.fc_input (=13 at the checked-in res100 config), so its own
+    forward raises.  fmri_tpu's WaeDecoder deliberately sizes the fc from
+    fc_input instead (``models/nets.py: WaeDecoder`` docstring)."""
+    import torch
+
+    ref_models, ref_cfg, _ = ref
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = ref_models.WaeDecoder(z_size=ref_cfg.latent_dim, size=1024).eval()
+    with pytest.raises(RuntimeError):
+        with torch.no_grad():
+            m(torch.randn(2, ref_cfg.latent_dim))
+
+
 def test_cognitive_encoder_matches_reference(ref):
     """The reference CognitiveEncoder (vae_gan.py:190-232) vs the converted
     fmri_tpu module, at the production 3,620-voxel input."""
