@@ -37,6 +37,25 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkout not available")
 
 
+def _stub_torchvision() -> None:
+    """Satisfy the reference's torchvision imports (absent here): only dead
+    code (ResNetEncoder) and unexercised helpers (grid/image savers, the
+    Inception-Score net) reach them in these tests."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvm.resnet152 = None      # dead code upstream (vae_gan.py:245)
+    tvm.inception_v3 = None   # only used by inception_score
+    tvu = types.ModuleType("torchvision.utils")
+    tvu.make_grid = lambda *a, **k: None
+    tvu.save_image = lambda *a, **k: None
+    tv.models, tv.utils = tvm, tvu
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    sys.modules["torchvision.utils"] = tvu
+
+
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference package (with a torchvision stub) and build a
@@ -44,13 +63,7 @@ def ref():
     train-mode forwards."""
     import torch
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvm = types.ModuleType("torchvision.models")
-        tvm.resnet152 = None  # dead code upstream (vae_gan.py:245)
-        tv.models = tvm
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tvm
+    _stub_torchvision()
     sys.path.insert(0, REF)
     try:
         with warnings.catch_warnings():
@@ -272,3 +285,60 @@ def test_cognitive_encoder_matches_reference(ref):
         v, train=False)
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(), atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_metrics():
+    """The reference's own metric classes (train/train_utils.py) — the
+    definitions that quality parity is judged by."""
+    _stub_torchvision()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    sys.path.insert(0, REF)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from train.train_utils import (
+                PearsonCorrelation, StructuralSimilarity,
+            )
+    finally:
+        sys.path.remove(REF)
+    return PearsonCorrelation(), StructuralSimilarity()
+
+
+def test_pcc_matches_reference_implementation(ref_metrics):
+    """fmri_tpu.metrics.quality.pearson_correlation vs the reference's
+    PearsonCorrelation module (train_utils.py:267-292) on identical data."""
+    import torch
+
+    from fmri_tpu.metrics.quality import pearson_correlation
+
+    pcc_ref, _ = ref_metrics
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32)
+    b = (0.6 * a + 0.4 * rng.uniform(0, 1, a.shape)).astype(np.float32)
+    with torch.no_grad():
+        want = float(pcc_ref(torch.from_numpy(a), torch.from_numpy(b)))
+    got = float(pearson_correlation(a.transpose(0, 2, 3, 1),
+                                    b.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ssim_matches_reference_implementation(ref_metrics):
+    """fmri_tpu.metrics.quality.ssim vs the reference's
+    StructuralSimilarity module (train_utils.py:295-425) on identical data
+    — window size 11, sigma 1.5, the reference's C1/C2 without the dynamic
+    range factor."""
+    import torch
+
+    from fmri_tpu.metrics.quality import ssim
+
+    _, ssim_ref = ref_metrics
+    rng = np.random.default_rng(8)
+    a = rng.uniform(0, 1, (3, 3, 32, 32)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    with torch.no_grad():
+        want = float(ssim_ref(torch.from_numpy(a), torch.from_numpy(b)))
+    got = float(ssim(a.transpose(0, 2, 3, 1), b.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
