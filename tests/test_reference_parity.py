@@ -342,3 +342,39 @@ def test_ssim_matches_reference_implementation(ref_metrics):
         want = float(ssim_ref(torch.from_numpy(a), torch.from_numpy(b)))
     got = float(ssim(a.transpose(0, 2, 3, 1), b.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_data_utils_match_reference_implementation():
+    """The filename-schema contracts (identifier extraction, stimuli/fMRI
+    path templates, snake_case) must match the reference's own
+    ``data_preprocessing/data_utils.py`` bit-for-bit — they define on-disk
+    data-layout compatibility.  Executed directly (os+re only)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_data_utils",
+        os.path.join(REF, "data_preprocessing", "data_utils.py"))
+    ref_du = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_du)
+
+    from fmri_tpu.data import etl
+
+    cases = [
+        ("rep_COCO_train2014_000000012345.jpg", "coco"),
+        ("COCO_train2014_000000000042.jpg", "coco"),
+        ("n01440764_10026.JPEG", "imagenet"),
+        ("rep_n01440764_10026.JPEG", "imagenet"),
+        ("gray_kitchen.jpg", "scenes"),
+        ("rep_gray_kitchen.jpg", "scenes"),
+    ]
+    for filename, source in cases:
+        assert etl.get_identifier(filename, source) == \
+            ref_du.get_identifier(filename, source), (filename, source)
+        assert etl.get_stimuli_path(filename, source, "/data/stimuli") == \
+            ref_du.get_stimuli_path(filename, source, "/data/stimuli"), \
+            (filename, source)
+    for subj, sess, run in [(1, 1, 1), (3, 12, 9), (4, 2, 10)]:
+        assert etl.get_fmri_path(subj, sess, run, "/data/bold") == \
+            ref_du.get_fmri_path(subj, sess, run, "/data/bold")
+    for name in ["CamelCaseName", "already_snake", "HTTPServer", "Mixed_Case"]:
+        assert etl.snake_case(name) == ref_du.snake_case(name), name
