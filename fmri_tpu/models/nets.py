@@ -141,7 +141,7 @@ class VisualEncoder(nn.Module):
                              c.alt_backward, c.pallas_bn)(x, train=train)
         x = x.reshape((x.shape[0], -1))
         x = _dense(c.fc_output, c, use_bias=False)(x).astype(jnp.float32)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x)
         x = nn.relu(x)
@@ -165,7 +165,7 @@ class CognitiveEncoder(nn.Module):
         c = self.cfg
         x = _dense(c.cog_hidden, c, use_bias=False, name="fc1")(v)
         x = x.astype(jnp.float32)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x)
         x = nn.relu(x)
@@ -187,7 +187,7 @@ class Decoder(nn.Module):
         c = self.cfg
         size0 = c.encoder_channels[-1]
         x = _dense(c.fc_input * c.fc_input * size0, c, use_bias=False)(z)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x.astype(jnp.float32))
         x = nn.relu(x)
@@ -246,7 +246,7 @@ class ImageDiscriminator(nn.Module):
                 x = block(x, train=train)
         x = x.reshape((x.shape[0], -1))
         x = _dense(c.fc_output_gan, c, use_bias=False)(x).astype(jnp.float32)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x)
         x = nn.relu(x)
@@ -293,7 +293,7 @@ class VoxelDecoder(nn.Module):
         c = self.cfg
         size0 = c.encoder_channels[-1]
         x = _dense(c.fc_input * c.fc_input * size0, c, use_bias=False)(v)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x.astype(jnp.float32))
         x = jnp.tanh(x)
@@ -334,7 +334,7 @@ class WaeDecoder(nn.Module):
     def __call__(self, z, *, train: bool):
         c = self.cfg
         x = _dense(c.fc_input * c.fc_input * 1024, c, use_bias=False)(z)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
         )(x.astype(jnp.float32))
         x = nn.relu(x)
@@ -360,7 +360,7 @@ class _ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        bn = lambda y: nn.BatchNorm(use_running_average=not train,
+        bn = lambda y: BatchNorm(use_running_average=not train,
                                     momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
                     use_bias=False)(x)
@@ -398,13 +398,13 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         c = self.cfg
-        bn1d = lambda y: nn.BatchNorm(use_running_average=not train,
+        bn1d = lambda y: BatchNorm(use_running_average=not train,
                                       momentum=BN_MOMENTUM, epsilon=BN_EPS)(y)
         if self.trunk_fn is not None:
             h = self.trunk_fn(x)  # frozen pretrained features [B, 2048]
         else:
             h = nn.Conv(64, (7, 7), (2, 2), use_bias=False)(x)
-            h = nn.relu(nn.BatchNorm(use_running_average=not train,
+            h = nn.relu(BatchNorm(use_running_average=not train,
                                      momentum=BN_MOMENTUM, epsilon=BN_EPS)(h))
             for feats, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
                 h = _ResBlock(feats, stride)(h, train=train)

@@ -30,7 +30,17 @@ from fmri_tpu.ops import pallas_bn
 
 
 class BatchNorm(nn.BatchNorm):
-    """``flax.linen.BatchNorm`` + optional Pallas-backed train-mode path."""
+    """``flax.linen.BatchNorm`` + optional Pallas-backed train-mode path.
+
+    Running-variance semantics follow **torch**, not stock flax: torch's
+    ``nn.BatchNorm*`` normalizes with the biased batch variance but updates
+    ``running_var`` with the UNBIASED one (ddof=1, factor ``n/(n-1)`` over
+    the ``n`` reduced elements) — flax uses the biased variance for both.
+    The reference trains every BN this way (``models/vae_gan.py:22,55``), so
+    eval-mode forwards of a checkpoint trained here must apply the same
+    correction or they diverge from a reference-trained checkpoint's
+    (caught by ``tests/test_update_parity.py::
+    test_vgan1_encoder_decoder_bn_stats_match``)."""
 
     pallas: bool = False
 
@@ -39,20 +49,42 @@ class BatchNorm(nn.BatchNorm):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average,
             use_running_average)
-        if not self.pallas or use_ra:
+        if use_ra:
             # forward the *call-time* arg (may be None): the parent merges it
             # with the constructor field itself and rejects doubled passing.
             return super().__call__(x, use_running_average=use_running_average)
+        if self.axis != -1:
+            raise ValueError(
+                "BatchNorm train mode implements the torch unbiased "
+                "running-var update for axis=-1 only (the repo-wide layout); "
+                f"got axis={self.axis}.")
+        c = x.shape[-1]
+        n = x.size // c  # reduced elements per channel (global under SPMD)
+        if not self.pallas:
+            # read/write around the parent without re-declaring the variable
+            # (compact modules allow each declaration once per call)
+            had = self.has_variable("batch_stats", "var")
+            old_var = self.get_variable("batch_stats", "var") if had else None
+            y = super().__call__(x, use_running_average=use_running_average)
+            if not self.is_initializing() and n > 1 and had:
+                # parent wrote m*old + (1-m)*var_biased; rewrite the tick
+                # with var_biased * n/(n-1) (exact algebra, not a re-reduce).
+                m = self.momentum
+                new = self.get_variable("batch_stats", "var")
+                var_b = (new - m * old_var) / (1.0 - m)
+                self.put_variable(
+                    "batch_stats", "var",
+                    m * old_var + (1.0 - m) * var_b * (n / (n - 1.0)))
+            return y
 
-        if (not self.use_scale or not self.use_bias or self.axis != -1
+        if (not self.use_scale or not self.use_bias
                 or self.axis_name is not None):
             raise ValueError(
                 "BatchNorm(pallas=True) supports only the flax defaults "
-                "use_scale=use_bias=True, axis=-1, axis_name=None — got "
+                "use_scale=use_bias=True, axis_name=None — got "
                 f"use_scale={self.use_scale} use_bias={self.use_bias} "
-                f"axis={self.axis} axis_name={self.axis_name}. Silently "
-                "ignoring these would diverge from the pallas=False path.")
-        c = x.shape[-1]
+                f"axis_name={self.axis_name}. Silently ignoring these would "
+                "diverge from the pallas=False path.")
         scale = self.param("scale", self.scale_init, (c,),
                            self.param_dtype)
         bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
@@ -64,6 +96,7 @@ class BatchNorm(nn.BatchNorm):
                                                 float(self.epsilon))
         if not self.is_initializing():
             m = self.momentum
+            unbias = n / (n - 1.0) if n > 1 else 1.0
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mu
-            ra_var.value = m * ra_var.value + (1.0 - m) * var
+            ra_var.value = m * ra_var.value + (1.0 - m) * var * unbias
         return y
