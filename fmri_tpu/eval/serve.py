@@ -32,8 +32,19 @@ Protocol (one JSON object per line, both directions)::
     {"cmd": "ping"}   -> {"ok": true}
     {"cmd": "reload", "ckpt": "<dir>", "epoch": n?}   # hot weight swap
                       -> {"reloaded": "<dir>", "epoch": n}
+                      # tree/shape-validated; refused (old state kept) on
+                      # mismatch, and refused on non-loopback TCP binds
+                      # unless --allow-remote-reload
     {"cmd": "generate", "n": k}   # sample k images from the prior
                       -> {"shape": [k, H, W, 3], "dtype": "uint8", ...}
+                      # k capped at 8 x max-batch per request so one client
+                      # cannot monopolize the model lock
+
+Overload: the pending queue is bounded (``--max-queue``, default 8 x
+max-batch).  Past saturation a request is SHED immediately ->
+``{"id": ..., "error": "ServerOverloaded: ...", "shed": true}`` — bounded
+worst-case latency for accepted requests, explicit backpressure for the
+rest.  Shutdown drains accepted requests before stopping.
 
 Stage-1 checkpoints (image->image autoencoding) are also servable: the
 request key becomes ``"image"`` with a flat HWC float list in [0, 1].
@@ -243,8 +254,14 @@ class ServingModel:
         import numpy as np
 
         shape = self.sample_shape()
+        saved_rng = self._rng
         for b in self.buckets:
             self._run(np.zeros((b, *shape), np.float32))
+        # Restore the carried key: warmup must not advance the sampling
+        # stream (when sample=True), or reconstruct outputs would depend on
+        # warmup/bucket count instead of the seed alone — mirroring the
+        # generate warmup's key-discard below.
+        self._rng = saved_rng
         if generate:
             with self._lock:
                 for b in self.buckets:
@@ -302,12 +319,30 @@ class ServingModel:
         """Hot-swap weights from a checkpoint without restarting the server
         (zero-downtime model update).  The swap happens under the compute
         lock, between batches; compiled programs are reused — only the
-        parameter buffers change."""
+        parameter buffers change.  A checkpoint whose tree structure or leaf
+        shapes differ from the serving state is rejected up front (the old
+        state stays installed), since the compiled programs would fail every
+        subsequent request."""
         import jax
 
         from fmri_tpu.checkpoints.store import load_eval_state
 
         state, meta = load_eval_state(ckpt_dir, epoch=epoch)
+        old_td = jax.tree_util.tree_structure(self.state)
+        new_td = jax.tree_util.tree_structure(state)
+        if old_td != new_td:
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} has a different state tree than "
+                f"the serving model (family/stage mismatch?); reload refused")
+        bad = [jax.tree_util.keystr(k)
+               for (k, a), b in zip(jax.tree_util.tree_leaves_with_path(state),
+                                    jax.tree_util.tree_leaves(self.state))
+               if a.shape != b.shape]
+        if bad:
+            raise ValueError(
+                f"checkpoint {ckpt_dir!r} leaf shapes differ from the "
+                f"serving state at {bad[:3]} (+{max(0, len(bad) - 3)} more); "
+                f"reload refused")
         if self.mesh is None:
             state = jax.device_put(state)
         else:
@@ -335,6 +370,12 @@ class ServingModel:
         return cls(family, stage, cfg, state, **kw)
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by :meth:`BatchingServer.submit` when the pending queue is at
+    ``max_queue`` — explicit load shedding instead of unbounded growth (a
+    client past saturation gets an immediate error, not a latency cliff)."""
+
+
 class BatchingServer:
     """Dynamic microbatcher over a :class:`ServingModel`.
 
@@ -342,18 +383,33 @@ class BatchingServer:
     thread drains the queue into padded bucket batches (full bucket or
     ``max_wait_ms`` after the first queued request, whichever first) and
     resolves the futures with per-sample images.
+
+    Overload governance: the queue is bounded at ``max_queue`` pending
+    samples (default ``8 * max_batch``); past that, :meth:`submit` raises
+    :class:`ServerOverloaded` (the socket layer returns a ``"shed": true``
+    error).  Worst-case queued latency is therefore bounded by roughly
+    ``max_queue / max_batch`` model batches.  :meth:`close` drains queued
+    work by default before stopping, so no accepted request is dropped on
+    shutdown.
     """
 
     _LAT_WINDOW = 2048
 
-    def __init__(self, model: ServingModel, *, max_wait_ms: float = 5.0):
+    def __init__(self, model: ServingModel, *, max_wait_ms: float = 5.0,
+                 max_queue: Optional[int] = None):
         self.model = model
         self.max_wait = max(0.0, float(max_wait_ms)) / 1e3
-        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self.max_queue = int(max_queue if max_queue is not None
+                             else 8 * model.max_batch)
+        if self.max_queue < 1:
+            raise ValueError("max_queue must be >= 1")
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         self._stop = threading.Event()
+        self._closing = threading.Event()
         self._slock = threading.Lock()
         self._requests = 0
         self._batches = 0
+        self._shed = 0
         self._occupancy_sum = 0.0
         self._lat_ms: List[float] = []
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -363,12 +419,21 @@ class BatchingServer:
     def submit(self, x) -> Future:
         import numpy as np
 
+        if self._closing.is_set():
+            raise RuntimeError("server is shutting down")
         x = np.asarray(x, np.float32)
         want = self.model.sample_shape()
         if x.shape != want:
             raise ValueError(f"sample shape {x.shape} != expected {want}")
         fut: Future = Future()
-        self._q.put((x, fut, time.monotonic()))
+        try:
+            self._q.put_nowait((x, fut, time.monotonic()))
+        except queue.Full:
+            with self._slock:
+                self._shed += 1
+            raise ServerOverloaded(
+                f"queue depth at max_queue={self.max_queue}; retry with "
+                f"backoff") from None
         return fut
 
     def _loop(self) -> None:
@@ -418,6 +483,9 @@ class BatchingServer:
             out = {
                 "requests": self._requests,
                 "batches": self._batches,
+                "shed": self._shed,
+                "queue_depth": self._q.qsize(),
+                "max_queue": self.max_queue,
                 "occupancy": (self._occupancy_sum / self._batches
                               if self._batches else 0.0),
                 "buckets": self.model.buckets,
@@ -432,9 +500,26 @@ class BatchingServer:
             }
         return out
 
-    def close(self) -> None:
+    def close(self, drain: bool = True, timeout: float = 30.0) -> None:
+        """Stop the worker.  With ``drain`` (default), first reject new
+        submissions and let the worker finish every queued request (bounded
+        by ``timeout``); any request still queued afterwards fails fast with
+        an exception instead of hanging its Future forever."""
+        self._closing.set()
+        if drain:
+            deadline = time.monotonic() + timeout
+            while not self._q.empty() and time.monotonic() < deadline:
+                time.sleep(0.01)
         self._stop.set()
         self._thread.join(timeout=5)
+        while True:  # fail anything the drain window didn't cover
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.cancelled():
+                fut.set_exception(RuntimeError("server shut down before "
+                                               "this request ran"))
 
 
 # --------------------------- socket transport ---------------------------
@@ -452,6 +537,12 @@ def _encode_image(img) -> Dict:
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    # One generate request may hold the model lock for at most this many
+    # max_batch-sized TPU batches — a protocol-level cap so a single client
+    # cannot stall reconstruct traffic indefinitely (the in-process
+    # ``ServingModel.generate`` bulk API stays uncapped).
+    GENERATE_CAP_BATCHES = 8
+
     def handle(self) -> None:
         import numpy as np
 
@@ -468,10 +559,21 @@ class _Handler(socketserver.StreamRequestHandler):
                 elif req.get("cmd") == "ping":
                     resp = {"ok": True}
                 elif req.get("cmd") == "reload":
+                    if not getattr(self.server, "allow_reload", True):
+                        raise PermissionError(
+                            "reload is disabled on non-loopback TCP binds; "
+                            "start the server with --allow-remote-reload to "
+                            "accept remote weight swaps")
                     resp = batcher.model.reload(req["ckpt"],
                                                 epoch=req.get("epoch"))
                 elif req.get("cmd") == "generate":
-                    imgs = batcher.model.generate(int(req.get("n", 1)))
+                    n = int(req.get("n", 1))
+                    cap = self.GENERATE_CAP_BATCHES * batcher.model.max_batch
+                    if n > cap:
+                        raise ValueError(
+                            f"generate n={n} exceeds the per-request cap "
+                            f"{cap}; split into multiple requests")
+                    imgs = batcher.model.generate(n)
                     resp = {"id": req.get("id"), **_encode_image(imgs)}
                 else:
                     key = ("fmri" if batcher.model.data_kind == "pair"
@@ -480,6 +582,9 @@ class _Handler(socketserver.StreamRequestHandler):
                         batcher.model.sample_shape())
                     img = batcher.submit(x).result(timeout=60)
                     resp = {"id": req.get("id"), **_encode_image(img)}
+            except ServerOverloaded as exc:
+                resp = {"id": req.get("id") if isinstance(req, dict) else None,
+                        "error": f"ServerOverloaded: {exc}", "shed": True}
             except Exception as exc:
                 resp = {"id": req.get("id") if isinstance(req, dict) else None,
                         "error": f"{type(exc).__name__}: {exc}"}
@@ -500,9 +605,14 @@ if hasattr(socketserver, "UnixStreamServer"):
 
 def make_socket_server(batcher: BatchingServer, *,
                        unix_path: Optional[str] = None,
-                       host: str = "127.0.0.1", port: int = 0):
+                       host: str = "127.0.0.1", port: int = 0,
+                       allow_remote_reload: bool = False):
     """Build (not start) the threaded socket server; ``.server_address`` has
-    the bound address (useful with port=0)."""
+    the bound address (useful with port=0).
+
+    ``reload`` is an unauthenticated admin verb, so on a TCP bind beyond
+    loopback it is refused unless ``allow_remote_reload`` (deploy such binds
+    only behind a trusted network boundary)."""
     if unix_path:
         if not hasattr(socketserver, "UnixStreamServer"):
             raise RuntimeError(
@@ -511,8 +621,11 @@ def make_socket_server(batcher: BatchingServer, *,
         if os.path.exists(unix_path):
             os.unlink(unix_path)
         srv = _ThreadingUnix(unix_path, _Handler)
+        srv.allow_reload = True  # filesystem-permission-guarded
     else:
         srv = _ThreadingTCP((host, port), _Handler)
+        loopback = host in ("127.0.0.1", "::1", "localhost")
+        srv.allow_reload = loopback or allow_remote_reload
     srv.batcher = batcher  # type: ignore[attr-defined]
     return srv
 
@@ -537,6 +650,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="smallest compiled batch bucket (fewer compiles on "
                         "TPU at the cost of more padding for tiny batches)")
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="pending-request bound before load shedding "
+                        "(default 8 x max-batch); past it, requests get an "
+                        "immediate 'shed' error instead of queuing unboundedly")
+    p.add_argument("--allow-remote-reload", action="store_true",
+                   help="accept the (unauthenticated) reload verb on "
+                        "non-loopback TCP binds; off by default")
     p.add_argument("--sample", action="store_true",
                    help="reparameterize instead of decoding the mean latent")
     p.add_argument("--output", choices=["uint8", "float"], default="uint8",
@@ -585,9 +705,11 @@ def main(argv=None) -> int:
         print(f"warmup: {2 * len(model.buckets)} programs "
               f"({len(model.buckets)} buckets x reconstruct+generate) "
               f"compiled in {time.monotonic() - t0:.1f}s", flush=True)
-    batcher = BatchingServer(model, max_wait_ms=args.max_wait_ms)
+    batcher = BatchingServer(model, max_wait_ms=args.max_wait_ms,
+                             max_queue=args.max_queue)
     srv = make_socket_server(batcher, unix_path=args.unix_socket,
-                             host=args.host, port=args.port)
+                             host=args.host, port=args.port,
+                             allow_remote_reload=args.allow_remote_reload)
     where = args.unix_socket or "%s:%d" % srv.server_address[:2]
     print(f"serving {args.family} stage {args.stage} ({args.preset}) on "
           f"{where}", flush=True)

@@ -111,10 +111,18 @@ def _check_out(out: np.ndarray, shape: tuple, dtype) -> np.ndarray:
     return out
 
 
-def _idx64(idx: np.ndarray) -> np.ndarray:
+def _idx64(idx: np.ndarray, n_rows: int) -> np.ndarray:
+    """Normalize and bound-check indices BEFORE the native/fallback branch:
+    both paths share one contract (in particular, negative indices raise on
+    both — numpy's silent wraparound on the fallback path would make the
+    same call behave differently across hosts)."""
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     if idx.ndim != 1:
         raise ValueError(f"idx must be 1-D, got shape {idx.shape}")
+    if idx.size and (idx.min() < 0 or idx.max() >= n_rows):
+        raise IndexError(
+            f"gather index out of range [0, {n_rows}) (negative indices are "
+            f"rejected on every path)")
     return idx
 
 
@@ -127,7 +135,7 @@ def gather(arr: np.ndarray, idx: np.ndarray, *,
            threads: Optional[int] = None) -> np.ndarray:
     """``arr[idx]`` over axis 0 (any dtype), natively when possible."""
     lib = _load()
-    idx = _idx64(idx)
+    idx = _idx64(idx, arr.shape[0])
     if lib is None or not _rows_ok(arr):
         res = arr[idx]
         if out is not None:
@@ -135,8 +143,6 @@ def gather(arr: np.ndarray, idx: np.ndarray, *,
             out[...] = res
             return out
         return res
-    if idx.size and (idx.min() < 0 or idx.max() >= arr.shape[0]):
-        raise IndexError("gather index out of range")
     row_bytes = arr.dtype.itemsize * int(np.prod(arr.shape[1:], dtype=np.int64))
     if out is None:
         out = np.empty((idx.size, *arr.shape[1:]), dtype=arr.dtype)
@@ -157,7 +163,7 @@ def gather_dequant(arr: np.ndarray, idx: np.ndarray, *,
     if arr.dtype != np.uint8:
         raise TypeError(f"gather_dequant expects uint8, got {arr.dtype}")
     lib = _load()
-    idx = _idx64(idx)
+    idx = _idx64(idx, arr.shape[0])
     if lib is None or not _rows_ok(arr):
         res = arr[idx].astype(np.float32) * np.float32(scale)
         if out is not None:
@@ -165,8 +171,6 @@ def gather_dequant(arr: np.ndarray, idx: np.ndarray, *,
             out[...] = res
             return out
         return res
-    if idx.size and (idx.min() < 0 or idx.max() >= arr.shape[0]):
-        raise IndexError("gather index out of range")
     row_elems = int(np.prod(arr.shape[1:], dtype=np.int64))
     if out is None:
         out = np.empty((idx.size, *arr.shape[1:]), dtype=np.float32)
@@ -185,11 +189,9 @@ def prefetch(arr: np.ndarray, idx: np.ndarray) -> bool:
     lib = _load()
     if lib is None or not _rows_ok(arr):
         return False
-    idx = _idx64(idx)
+    idx = _idx64(idx, arr.shape[0])
     if idx.size == 0:
         return True
-    if idx.min() < 0 or idx.max() >= arr.shape[0]:
-        raise IndexError("prefetch index out of range")
     row_bytes = arr.dtype.itemsize * int(np.prod(arr.shape[1:], dtype=np.int64))
     lib.ft_prefetch_rows(_ptr(arr), row_bytes, _ptr(idx), idx.size)
     return True

@@ -439,3 +439,228 @@ def test_serve_cli(stage2_ckpt, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+# ------------------- overload governance (round-3 additions) -------------------
+
+
+class _GatedModel:
+    """Deterministic stand-in for ServingModel: reconstruct blocks until
+    released, so queue depth is controlled exactly (no timing races)."""
+
+    max_batch = 4
+    buckets = [4]
+
+    def __init__(self):
+        self.entered = threading.Event()
+        self.release = threading.Event()
+
+    def sample_shape(self):
+        return (3,)
+
+    def _bucket_for(self, n):
+        return self.max_batch
+
+    def reconstruct(self, xs):
+        self.entered.set()
+        assert self.release.wait(timeout=60)
+        return np.zeros((len(xs), 2, 2, 3), np.float32)
+
+
+def test_backpressure_sheds_load():
+    """Bounded queue: submissions past max_queue raise ServerOverloaded
+    immediately (explicit shed, not unbounded growth); accepted requests all
+    complete once capacity frees up."""
+    from fmri_tpu.eval.serve import ServerOverloaded
+
+    m = _GatedModel()
+    srv = BatchingServer(m, max_wait_ms=0.0, max_queue=3)
+    try:
+        first = srv.submit(np.zeros(3, np.float32))
+        assert m.entered.wait(timeout=10)  # worker is now blocked in-model
+        queued = [srv.submit(np.zeros(3, np.float32)) for _ in range(3)]
+        with pytest.raises(ServerOverloaded):
+            srv.submit(np.zeros(3, np.float32))
+        st = srv.stats()
+        assert st["shed"] == 1 and st["max_queue"] == 3
+        assert st["queue_depth"] == 3
+        m.release.set()
+        for f in [first, *queued]:
+            assert f.result(timeout=30).shape == (2, 2, 3)
+        assert srv.stats()["shed"] == 1  # sheds are not retried internally
+    finally:
+        m.release.set()
+        srv.close()
+
+
+def test_close_drains_accepted_requests():
+    """Shutdown drains: every accepted Future resolves with a result."""
+    m = _GatedModel()
+    m.release.set()  # model is fast; requests just need the worker to drain
+    srv = BatchingServer(m, max_wait_ms=0.0, max_queue=64)
+    futs = [srv.submit(np.zeros(3, np.float32)) for _ in range(16)]
+    srv.close()  # default drain=True
+    for f in futs:
+        assert f.result(timeout=1).shape == (2, 2, 3)
+    with pytest.raises(RuntimeError, match="shutting down"):
+        srv.submit(np.zeros(3, np.float32))
+
+
+def test_close_without_drain_fails_pending_fast():
+    """drain=False: queued-but-unrun requests fail with an explicit error
+    instead of hanging their futures forever."""
+    m = _GatedModel()
+    srv = BatchingServer(m, max_wait_ms=0.0, max_queue=64)
+    first = srv.submit(np.zeros(3, np.float32))
+    assert m.entered.wait(timeout=10)
+    pending = [srv.submit(np.zeros(3, np.float32)) for _ in range(5)]
+    m.release.set()
+    srv.close(drain=False)
+    for f in [first, *pending]:
+        try:  # each future resolves promptly — result or explicit error
+            f.result(timeout=10)
+        except RuntimeError as e:
+            assert "shut down" in str(e)
+
+
+def test_socket_hammer_past_saturation(model, tmp_path):
+    """Hammer the socket server well past max_queue: every response is
+    either a valid image or a clean {"shed": true} rejection, some load IS
+    shed, and the queue stays bounded."""
+    path = str(tmp_path / "hammer.sock")
+    batcher = BatchingServer(model, max_wait_ms=200.0, max_queue=6)
+    srv = make_socket_server(batcher, unix_path=path)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    ok, shed, bad = [], [], []
+
+    def client(k):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(path)
+        r, w = c.makefile("rb"), c.makefile("wb")
+        v = np.zeros(model.sample_shape(), np.float32)
+        for i in range(4):
+            resp = _request(r, w, {"id": 100 * k + i, "fmri": v.tolist()})
+            if resp.get("shed"):
+                shed.append(resp)
+            elif "data" in resp:
+                ok.append(resp)
+            else:  # pragma: no cover - failure detail
+                bad.append(resp)
+        c.close()
+
+    try:
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not bad, bad[:2]
+        assert len(ok) + len(shed) == 32
+        assert shed, "expected load shedding past saturation"
+        assert ok, "some requests must still be served at saturation"
+        st = batcher.stats()
+        assert st["shed"] == len(shed)
+        assert st["queue_depth"] <= st["max_queue"]
+    finally:
+        srv.shutdown()
+        batcher.close()
+
+
+def test_generate_capped_per_request(model, tmp_path):
+    """The socket generate verb refuses n beyond 8 x max_batch so one client
+    cannot monopolize the model lock (ADVICE r2; in-process bulk generate is
+    uncapped)."""
+    path = str(tmp_path / "gencap.sock")
+    batcher = BatchingServer(model, max_wait_ms=1.0)
+    srv = make_socket_server(batcher, unix_path=path)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(path)
+        r, w = c.makefile("rb"), c.makefile("wb")
+        resp = _request(r, w, {"cmd": "generate",
+                               "n": 8 * model.max_batch + 1})
+        assert "error" in resp and "cap" in resp["error"]
+        resp = _request(r, w, {"cmd": "generate", "n": 2})
+        assert resp["shape"][0] == 2
+        c.close()
+    finally:
+        srv.shutdown()
+        batcher.close()
+
+
+def test_remote_reload_guard(model):
+    """reload is refused on non-loopback TCP binds unless explicitly
+    allowed (unauthenticated admin verb, ADVICE r2)."""
+    batcher = BatchingServer(model, max_wait_ms=1.0)
+    try:
+        srv = make_socket_server(batcher, host="127.0.0.1", port=0)
+        assert srv.allow_reload
+        srv.server_close()
+        srv = make_socket_server(batcher, host="0.0.0.0", port=0)
+        assert not srv.allow_reload
+        # one live round trip through the guard
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = srv.server_address[1]
+            c = socket.create_connection(("127.0.0.1", port))
+            r, w = c.makefile("rb"), c.makefile("wb")
+            resp = _request(r, w, {"cmd": "reload", "ckpt": "/nope"})
+            assert "PermissionError" in resp["error"]
+            c.close()
+        finally:
+            srv.shutdown()
+        srv = make_socket_server(batcher, host="0.0.0.0", port=0,
+                                 allow_remote_reload=True)
+        assert srv.allow_reload
+        srv.server_close()
+    finally:
+        batcher.close()
+
+
+def test_reload_rejects_mismatched_checkpoint(ckpts, stage2_ckpt):
+    """A checkpoint with a different state tree (stage-1 vs stage-2) or
+    different leaf shapes (other voxel count) is refused and the serving
+    state is untouched (ADVICE r2: no broken hot-swap)."""
+    from fmri_tpu.checkpoints.store import save_checkpoint
+    from fmri_tpu.configs.presets import override_num_voxels
+    from fmri_tpu.train import stages
+
+    d1, d2, cfg = ckpts
+    m = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4)
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(2, *m.sample_shape())).astype(np.float32)
+    before = m.reconstruct(x)
+    with pytest.raises(ValueError, match="reload refused"):
+        m.reload(d1)  # stage-1 tree (no cognitive encoder groups)
+    import tempfile
+
+    cfg_v = override_num_voxels(cfg, cfg.model.num_voxels + 8)
+    with tempfile.TemporaryDirectory() as td:
+        dv = os.path.join(td, "ckpt")
+        sv, _, _ = stages.vgan_stage2(cfg_v, d1, steps_per_epoch=1,
+                                      donate=False)
+        save_checkpoint(dv, 0, sv)
+        with pytest.raises(ValueError, match="reload refused"):
+            m.reload(dv)  # same tree, different fc1 shape
+    np.testing.assert_array_equal(m.reconstruct(x), before)
+
+
+def test_warmup_preserves_sampling_stream(stage2_ckpt):
+    """With sample=True, warmup must not advance the carried reparam key:
+    outputs depend on the seed alone, warmed up or not (ADVICE r2)."""
+    d2, cfg = stage2_ckpt
+    rng = np.random.default_rng(19)
+    x = rng.normal(size=(2, cfg.model.num_voxels)).astype(np.float32)
+    m1 = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4,
+                                      sample=True, seed=5)
+    m1.warmup()
+    a = m1.reconstruct(x)
+    m2 = ServingModel.from_checkpoint(d2, "vgan", 2, "tiny", max_batch=4,
+                                      sample=True, seed=5)
+    b = m2.reconstruct(x)
+    np.testing.assert_allclose(a, b, atol=1e-6)
