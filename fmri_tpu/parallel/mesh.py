@@ -142,23 +142,70 @@ def _voxel_tp_place(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
-def shard_state(state: Any, mesh: Mesh, voxel_tp: bool = False) -> Any:
-    """Place a full TrainState: params/opt-state/batch-stats replicated, except
-    (with ``voxel_tp``) the cognitive encoder's fc1 kernel and its optimizer
-    moments sharded over the model axis."""
-    if not voxel_tp:
+def decoder_param_specs(params: Any) -> Any:
+    """PartitionSpecs for the shared ``Decoder`` group: its projection
+    ``Dense_0`` kernel (latent -> fc_input^2 * C, the largest dense layer at
+    res100/latent-512 and SURVEY §2.8's second model-axis target) sharded
+    row-parallel [latent -> model, features]; every other leaf replicated.
+
+    Row (input-dim) parallelism — the same layout as the cognitive fc1 — is
+    deliberate: each model-shard computes a partial matmul and XLA inserts
+    one psum, leaving the activation REPLICATED before the NHWC reshape.
+    The column-parallel alternative (features -> model) propagates the
+    sharding through the reshape onto a small spatial axis, sending the
+    first DecoderBlock into GSPMD's spatially-partitioned *lhs-dilated*
+    conv path — measured numerically divergent weight grads on the 2-way
+    CPU mesh (wrong, not just slow), see tests/test_mesh.py."""
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        if "Dense_0" in keys and keys[-1] == "kernel":
+            return P(MODEL_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _decoder_tp_place(tree: Any, mesh: Mesh) -> Any:
+    """Leaf placement mirroring :func:`decoder_param_specs` (params AND
+    optimizer moments, which share the tree structure)."""
+
+    def place(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if "Dense_0" in keys and keys[-1] == "kernel" and np.ndim(leaf) == 2:
+            return jax.device_put(leaf, NamedSharding(mesh, P(MODEL_AXIS, None)))
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def shard_state(state: Any, mesh: Mesh, voxel_tp: bool = False,
+                decoder_tp: bool = False) -> Any:
+    """Place a full TrainState: params/opt-state/batch-stats replicated,
+    except
+
+      * with ``voxel_tp``: the cognitive encoder's fc1 kernel (and optimizer
+        moments) shard [voxels -> model, hidden] (row/input parallel, psum);
+      * with ``decoder_tp``: the shared Decoder's projection kernel (and
+        moments) shard [latent -> model, features] (row/input parallel,
+        psum — see :func:`decoder_param_specs` for why not column).
+
+    Both compose with data parallelism on the ``data`` axis and with each
+    other (stage-2/3 cognitive runs can shard fc1 AND the decoder fc)."""
+    special = {"encoder": _voxel_tp_place if voxel_tp else None,
+               "decoder": _decoder_tp_place if decoder_tp else None}
+    if not any(special.values()):
         return jax.device_put(state, replicated(mesh))
     params = dict(state.params)
     opt = dict(state.opt_state)
-    params["encoder"] = _voxel_tp_place(params["encoder"], mesh)
-    if "encoder" in opt:
-        opt["encoder"] = _voxel_tp_place(opt["encoder"], mesh)
     for k in params:
-        if k != "encoder":
-            params[k] = jax.device_put(params[k], replicated(mesh))
+        fn = special.get(k)
+        params[k] = (fn(params[k], mesh) if fn
+                     else jax.device_put(params[k], replicated(mesh)))
     for k in opt:
-        if k != "encoder":
-            opt[k] = jax.device_put(opt[k], replicated(mesh))
+        fn = special.get(k)
+        opt[k] = (fn(opt[k], mesh) if fn
+                  else jax.device_put(opt[k], replicated(mesh)))
     return state.replace(
         params=params,
         batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),

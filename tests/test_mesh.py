@@ -353,3 +353,144 @@ def test_wae_cognitive_stage3_data_parallel():
                     jax.tree_util.tree_leaves(s_mesh.params["decoder"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def _cog_state3(seed=0):
+    """Stage-3 vgan layout: decoder + discriminator train, cognitive encoder
+    and teacher frozen (train_vgan_stage3.py:329-334).
+
+    RMSprop second moments are seeded to 1.0: sharding the decoder matmul
+    changes reduction order, and cold-start RMSprop amplifies sub-noise
+    gradient elements to +-3.16*lr sign bits that single-device and mesh
+    runs cannot agree on (same rationale as tests/ref_oracle.py); with warm
+    moments the update is ~linear in the gradient and compares tightly."""
+    from fmri_tpu.train.optim import RmsState
+
+    ks = jax.random.split(jax.random.key(seed), 2)
+    vg = init_vaegan(ks[0], CFG)
+    cog = init_cognitive(ks[1], CFG)
+    groups = {
+        "encoder": cog,
+        "decoder": {"params": vg["params"]["decoder"],
+                    "batch_stats": vg["batch_stats"]["decoder"]},
+        "discriminator": {"params": vg["params"]["discriminator"],
+                          "batch_stats": vg["batch_stats"]["discriminator"]},
+        "teacher_encoder": {"params": vg["params"]["encoder"],
+                            "batch_stats": vg["batch_stats"]["encoder"]},
+    }
+    opt = RmsProp(clip=1.0)
+    state = make_state(groups, {k: opt for k in ("decoder", "discriminator")})
+    return state.replace(opt_state={
+        k: RmsState(jax.tree_util.tree_map(jnp.ones_like, v.sq_avg))
+        for k, v in state.opt_state.items()})
+
+
+def test_vgan_stage3_dp_decoder_tp_matches_single_device():
+    """Stage-III fine-tune under dp x model TP with BOTH model-axis shards on:
+    cognitive fc1 [voxels->model] (frozen here) and the trained Decoder's
+    projection kernel [latent, features->model] + its RMSprop moments."""
+    step = make_vgan_cognitive_step(CFG, stage=3, donate=False)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    batch = {
+        "fmri": jax.random.normal(k1, (B, CFG.model.num_voxels)),
+        "image": jax.random.uniform(
+            k2, (B, CFG.model.image_size, CFG.model.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+    args = (jax.random.key(3), jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(1e-6))
+
+    s_single, m_single = step.train_step(_cog_state3(), batch, *args)
+
+    mesh = make_mesh(model=2)
+    state = shard_state(_cog_state3(), mesh, voxel_tp=True, decoder_tp=True)
+    sharded = shard_batch(batch, mesh, voxel_tp=True)
+    s_mesh, m_mesh = step.train_step(state, sharded, *args)
+
+    for key in ("loss_decoder", "loss_discriminator"):
+        np.testing.assert_allclose(float(m_single[key]), float(m_mesh[key]),
+                                   rtol=2e-4)
+    # the decoder projection kernel is really sharded over the model axis
+    # and its post-step values match the single-device run
+    dk = s_mesh.params["decoder"]["Dense_0"]["kernel"]
+    assert "model" in str(dk.sharding.spec)
+    np.testing.assert_allclose(
+        np.asarray(s_single.params["decoder"]["Dense_0"]["kernel"]),
+        np.asarray(dk), rtol=2e-3, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params["decoder"]),
+                    jax.tree_util.tree_leaves(s_mesh.params["decoder"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    # moments mirror the kernel sharding
+    mk = s_mesh.opt_state["decoder"].sq_avg["Dense_0"]["kernel"]
+    assert "model" in str(mk.sharding.spec)
+
+
+def test_vgan_stage2_decoder_tp_composes_with_voxel_tp():
+    """Stage-II under dp x TP with fc1 AND the (frozen) decoder projection
+    sharded: same losses and encoder update as single-device."""
+    step = make_vgan_cognitive_step(CFG, stage=2, donate=False)
+    k1, k2 = jax.random.split(jax.random.key(5))
+    batch = {
+        "fmri": jax.random.normal(k1, (B, CFG.model.num_voxels)),
+        "image": jax.random.uniform(
+            k2, (B, CFG.model.image_size, CFG.model.image_size, 3),
+            minval=-1.0, maxval=1.0),
+    }
+    args = (jax.random.key(3), jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(1e-6))
+
+    s_single, m_single = step.train_step(_cog_state(1), batch, *args)
+
+    mesh = make_mesh(model=2)
+    state = shard_state(_cog_state(1), mesh, voxel_tp=True, decoder_tp=True)
+    sharded = shard_batch(batch, mesh, voxel_tp=True)
+    s_mesh, m_mesh = step.train_step(state, sharded, *args)
+
+    np.testing.assert_allclose(float(m_single["loss_encoder"]),
+                               float(m_mesh["loss_encoder"]), rtol=2e-4)
+    assert "model" in str(
+        s_mesh.params["decoder"]["Dense_0"]["kernel"].sharding.spec)
+    assert "model" in str(
+        s_mesh.params["encoder"]["fc1"]["kernel"].sharding.spec)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params["encoder"]),
+                    jax.tree_util.tree_leaves(s_mesh.params["encoder"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_wae_vgan_step_data_parallel_matches_single_device():
+    """WAE/Dual-GAN (image D + latent D, decoder moment-decay quirk) under
+    8-way DP: losses and every group's update match single-device."""
+    from fmri_tpu.train import make_wae_vgan_step
+
+    step = make_wae_vgan_step(CFG, donate=False)
+    x = jax.random.uniform(jax.random.key(21),
+                           (B, CFG.model.image_size, CFG.model.image_size, 3),
+                           minval=-1.0, maxval=1.0)
+    args = (jax.random.key(3), jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(1e-6))
+
+    def fresh():
+        k1, k2 = jax.random.split(jax.random.key(9))
+        gw = init_vaegan(k1, CFG)
+        g = {k: {"params": gw["params"][k],
+                 "batch_stats": gw["batch_stats"][k]} for k in gw["params"]}
+        g["latent_disc"] = init_latent_disc(k2, CFG, init_scheme="uniform")
+        opt = RmsProp()
+        return make_state(g, {k: opt for k in g})
+
+    s_single, m_single = step.train_step(fresh(), x, *args)
+
+    mesh = make_mesh()
+    state = shard_state(fresh(), mesh)
+    s_mesh, m_mesh = step.train_step(state, shard_batch(x, mesh), *args)
+
+    for key in ("loss_encoder", "loss_decoder", "loss_discriminator",
+                "loss_penalty", "loss_discriminator_fake"):
+        np.testing.assert_allclose(float(m_single[key]), float(m_mesh[key]),
+                                   rtol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
