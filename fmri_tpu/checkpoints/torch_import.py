@@ -439,6 +439,10 @@ def main(argv=None) -> int:
                          "carry it as <name>_<epoch>.pth)")
     ap.add_argument("--export", action="store_true",
                     help="reverse direction: framework checkpoint -> .pth")
+    ap.add_argument("--num-voxels", type=int, default=None,
+                    help="override the preset's fMRI voxel count (the "
+                         "reference sizes the CognitiveEncoder from the "
+                         "data, train_vgan_stage2.py:182)")
     args = ap.parse_args(argv)
 
     from fmri_tpu.train.run import _apply_platform_override
@@ -448,6 +452,10 @@ def main(argv=None) -> int:
     from fmri_tpu.configs import get_config
 
     cfg = get_config(args.preset)
+    if args.num_voxels is not None:
+        from fmri_tpu.configs.presets import override_num_voxels
+
+        cfg = override_num_voxels(cfg, args.num_voxels)
     if args.export:
         import torch
 
