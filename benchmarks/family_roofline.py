@@ -194,13 +194,23 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="res64-bf16")
     ap.add_argument("--json", default=None, help="append JSONL here")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the suite batch (256) — the §8e batch "
+                         "sweep probes whether per-layer fixed costs "
+                         "amortize at 512/1024 (VERDICT r2 #3)")
+    ap.add_argument("--families", nargs="*", default=None,
+                    help="subset of family names to run")
     args = ap.parse_args(argv)
+    if args.batch:
+        bench.BATCH = args.batch  # builders read it at build time
 
     from fmri_tpu.utils.compile_cache import enable as _compile_cache
     _compile_cache()  # the AOT cost-analysis compile then serves the run too
 
     rows = []
     for name, build, preset_override in FAMILIES:
+        if args.families and name not in args.families:
+            continue
         preset = preset_override or args.preset
         jitted, ex_args, run, sync_key = build(preset)
         flops = _flops(jitted, *ex_args)
