@@ -153,7 +153,7 @@ def _vgan_cognitive(preset, stage):
     return step.train_step, (state, batch, keys[0], *g), run, "loss_encoder"
 
 
-def _wae_stage2(preset):
+def _wae_cognitive(preset, stage):
     import jax
 
     from fmri_tpu.configs import get_config
@@ -162,13 +162,14 @@ def _wae_stage2(preset):
     )
 
     cfg = get_config(preset)
-    step = make_wae_cognitive_step(cfg, 2, donate=True)
+    step = make_wae_cognitive_step(cfg, stage, donate=True)
     groups = bench._cognitive_groups(cfg)
     del groups["discriminator"]
     groups["latent_disc"] = init_latent_disc(
         jax.random.key(3), cfg, init_scheme="normal")
     opt = Adam(b1=0.5, b2=0.999)
-    state = make_state(groups, {"encoder": opt, "latent_disc": opt})
+    trained = "encoder" if stage == 2 else "decoder"
+    state = make_state(groups, {trained: opt, "latent_disc": opt})
     batch = bench._pair_batch(cfg)
     keys = bench._prebuilt_keys(bench.WARMUP + bench.ITERS)
     box = [state]
@@ -186,7 +187,9 @@ FAMILIES = [
     ("stage1_wae_vgan", _wae_vgan_stage1, None),
     ("stage2_vgan", lambda p: _vgan_cognitive(p, 2), None),
     ("stage3_vgan", lambda p: _vgan_cognitive(p, 3), None),
-    ("stage2_wae", _wae_stage2, "res64"),  # WAE family trains fp32 presets
+    # WAE family trains fp32 presets
+    ("stage2_wae", lambda p: _wae_cognitive(p, 2), "res64"),
+    ("stage3_wae", lambda p: _wae_cognitive(p, 3), "res64"),
 ]
 
 

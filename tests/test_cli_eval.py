@@ -290,7 +290,7 @@ def test_inference_exact_is_wiring(trained_run, tmp_path):
     evaluate -> exact Inception-v3 path engages and the summary's
     ``is_proxy`` label flips to 0.  Proves the plumbing before real weights
     ever land."""
-    from inception_torch_oracle import make_state_dict
+    from test_inception_v3 import make_state_dict
 
     npz = str(tmp_path / "inception_v3.npz")
     np.savez(npz, **make_state_dict(np.random.default_rng(0)))
