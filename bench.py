@@ -364,12 +364,29 @@ SUITE = [
     ("stage3_vgan_res64_bf16", _vgan_stage3, "res64-bf16"),
     ("stage2_wae_res64", _wae_stage2, "res64"),
     ("stage3_wae_res64", _wae_stage3, "res64"),
+    # WAE steps are ~5x lighter in FLOPs than the vgan flavors, so their
+    # per-layer fixed costs (BN reductions, lane-starved latent MLP) still
+    # amortize past batch 256 (design.md §8e batch sweep: +9-16% at 1024,
+    # while the flagship control is flat).  A `_b<N>` name suffix overrides
+    # the batch for that row only (applied in main()).
+    ("stage1_wae_res64_bf16_b1024", _wae_stage1, "res64-bf16"),
+    ("stage2_wae_res64_b1024", _wae_stage2, "res64"),
+    ("stage3_wae_res64_b1024", _wae_stage3, "res64"),
     ("inference_stage3_res64_bf16", _inference_stage3, "res64-bf16"),
     ("serving_pipeline_res64_bf16", _serving_pipeline, "res64-bf16"),
 ]
 
 
+def _suite_batch(name: str) -> int:
+    """Batch for a suite row: a trailing ``_b<N>`` overrides the default."""
+    import re
+
+    m = re.search(r"_b(\d+)$", name)
+    return int(m.group(1)) if m else BATCH
+
+
 def main() -> None:
+    global BATCH  # per-row `_b<N>` overrides below; restored after the loop
     from fmri_tpu.utils.compile_cache import enable as _compile_cache
     _compile_cache()  # persistent XLA cache: repeated bench runs skip compiles
 
@@ -403,7 +420,9 @@ def main() -> None:
     # recorded under the canonical keys).
     fast = os.environ.get("FMRI_TPU_BENCH_FAST") == "1" or bool(variant)
     if not fast:
+        default_batch = BATCH
         for name, fn, preset in SUITE[1:]:
+            BATCH = _suite_batch(name)  # builders read the global at build
             try:
                 v = fn(preset)
                 results[name] = {
@@ -420,6 +439,7 @@ def main() -> None:
                 results[name] = {"error": f"{type(e).__name__}: {e}",
                                  "preset": preset}
                 print(f"{name}: FAILED {e}", file=sys.stderr)
+        BATCH = default_batch
 
     if not fast:
         # Host input-path row (CPU only): shuffled-epoch throughput over a
