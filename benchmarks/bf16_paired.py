@@ -43,7 +43,20 @@ def _find_run_dir(root):
 
 
 def chain(preset: str, seed: int, epochs, synthetic_n: int, out_root: str):
-    """stage1 -> stage2 -> stage3 -> inference summary dict."""
+    """stage1 -> stage2 -> stage3 -> inference summary dict.
+
+    Resumable at chain granularity: a completed chain's summary is reused,
+    a partial one (e.g. killed by a transient tunnel error — the axon TPU
+    occasionally drops a contact with FAILED_PRECONDITION) is wiped and
+    redone."""
+    summary_path = os.path.join(out_root, "inf", "summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            return json.load(f)
+    if os.path.exists(out_root):
+        import shutil
+
+        shutil.rmtree(out_root)
     base = ["fmri_tpu.train.run", "--preset", preset, "--dataset", "synthetic",
             "--synthetic-n", str(synthetic_n), "--seed", str(seed)]
     d1 = os.path.join(out_root, "s1")
@@ -83,7 +96,12 @@ def main(argv=None) -> int:
         pair = {}
         for preset in ("res64", "res64-bf16"):
             wd = os.path.join(args.workdir, f"seed{seed}_{preset}")
-            s = chain(preset, seed, args.epochs, args.synthetic_n, wd)
+            try:
+                s = chain(preset, seed, args.epochs, args.synthetic_n, wd)
+            except RuntimeError as e:  # one retry for transient TPU drops
+                print(f"seed {seed} {preset}: retrying after {e}",
+                      file=sys.stderr, flush=True)
+                s = chain(preset, seed, args.epochs, args.synthetic_n, wd)
             top2 = s["objective"]["pcc"][0]  # 2-way PCC identification
             pair[preset] = {"pcc": s["pcc"], "ssim": s["ssim"],
                             "top2": top2}

@@ -209,13 +209,22 @@ def make_wae_cognitive_step(cfg: Config, stage: int, lr_schedule_enc=None,
         p = state.params
         stats = state.batch_stats
 
-        # gt reconstruction by the teacher (train_wae_stage2.py:282-284) —
-        # used for epoch metrics, not for the losses.
+        # Teacher latents feed the latent-D's "real" side in both stages
+        # (train_wae_stage2.py:285, train_wae_stage3.py:312; the teacher
+        # module stays in ctor-default train mode, so its BN ticks).
         (mu_teacher, _), teach_s = apply_with_stats(
             teacher_enc, p["teacher_encoder"], stats["teacher_encoder"],
             image, train=True)
-        x_gt, dec_s0 = apply_with_stats(
-            dec, p["decoder"], stats["decoder"], mu_teacher, train=True)
+        if stage == 2:
+            # gt reconstruction through the SHARED decoder
+            # (train_wae_stage2.py:282-284) — used for epoch metrics, not
+            # the losses, but it ticks the decoder's BN.  Stage 3 has no
+            # such decode (train_wae_stage3.py's batch loop decodes only
+            # x_recon), so its decoder BN base is the carried stats.
+            _x_gt, dec_s0 = apply_with_stats(
+                dec, p["decoder"], stats["decoder"], mu_teacher, train=True)
+        else:
+            dec_s0 = stats["decoder"]
 
         # ---- Phase 1: latent discriminator ----
         (mu_cog, _), cog_s = apply_with_stats(

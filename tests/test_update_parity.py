@@ -701,16 +701,24 @@ def test_wae2_updates_match(wae2):
 
 
 # --------------------------------------------------------------------------
-# Trajectory: 8 steps of stage-1 VAE/GAN with the REAL equilibrium game
+# Trajectory: 20 steps of stage-1 VAE/GAN with the REAL equilibrium game
 # --------------------------------------------------------------------------
+
+TRAJ_STEPS = 20
 
 
 def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
-    """8-step trajectory from identical weights/noise with the reference's
+    """20-step trajectory from identical weights/noise with the reference's
     real margin/equilibrium (0.35/0.68, ``gan_config.py:36-40``): per-step
     head losses agree and the equilibrium gate fires identically (gates are
     compared only when torch's threshold distance exceeds 1e-3 — a knife-edge
-    decision is legitimately precision-dependent)."""
+    decision is legitimately precision-dependent).
+
+    Tolerance schedule: the two frameworks' fp32 rounding differences
+    compound through the adversarial dynamics, so the loss comparison widens
+    with depth — rtol 3e-3 for the first 8 steps (single-step conditioning,
+    matching the one-step oracles) then +1.5e-3 per further step
+    (empirically ~2x the observed drift envelope at step 20)."""
     import torch
 
     from fmri_tpu.train import make_state
@@ -737,7 +745,7 @@ def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
 
     base = jax.random.key(99)
     n_gates_checked = 0
-    for i in range(8):
+    for i in range(TRAJ_STEPS):
         x = _images(100 + i)
         rng = jax.random.fold_in(base, i)
         k_eps, k_zp = jax.random.split(rng)
@@ -773,11 +781,12 @@ def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
         if not train_dec and not train_dis:
             train_dec = train_dis = True
 
+        rtol = 3e-3 + 1.5e-3 * max(0, i - 7)  # drift widens past step 8
         np.testing.assert_allclose(float(m["loss_encoder"]),
-                                   float(loss_encoder) / B, rtol=3e-3,
+                                   float(loss_encoder) / B, rtol=rtol,
                                    err_msg=f"step {i}")
         np.testing.assert_allclose(float(m["loss_discriminator"]),
-                                   float(loss_discriminator) / B, rtol=3e-3,
+                                   float(loss_discriminator) / B, rtol=rtol,
                                    err_msg=f"step {i}")
         edge = min(abs(mbo - (equilibrium - margin)),
                    abs(mbp - (equilibrium - margin)),
@@ -797,4 +806,330 @@ def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
             ps, gs = group_grads(loss_discriminator, model.discriminator,
                                  retain_graph=False)
             apply_grads(opts["discriminator"], ps, gs)
-    assert n_gates_checked >= 6  # the gate comparison actually ran
+    assert n_gates_checked >= TRAJ_STEPS - 4  # the gate comparison ran
+
+
+# --------------------------------------------------------------------------
+# VAE/GAN Stage III (train_vgan_stage3.py: decoder fine-tune, frozen encoder)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vgan3_base(vgan_base):
+    """VaeGanCognitive assembled as the stage-3 trainer does
+    (``train_vgan_stage3.py:222-245``): cognitive encoder (frozen), fresh
+    decoder (``size=256``) + discriminator (stage-2-checkpoint-loaded in the
+    trainer; seeded fresh here), ``teacher_net`` present but inert — the
+    distillation branch requires ``stage == 2`` (``vae_gan.py:367``) — and
+    ctor-default ``mode='vae'`` (the loss blocks use args.mode='vae-gan')."""
+    import torch
+
+    ref_models, _ = import_reference()
+    torch.manual_seed(31)
+    teacher = copy.deepcopy(vgan_base)
+    for p in teacher.parameters():  # :225-227
+        p.requires_grad = False
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cog = ref_models.CognitiveEncoder(input_size=3620, z_size=LATENT)
+        dec = ref_models.Decoder(z_size=LATENT, size=256)  # :230
+        disc = ref_models.Discriminator()  # :231
+    with torch.no_grad():
+        for m in (cog, dec, disc):
+            m.train()
+        for _ in range(2):  # tick BN running stats with real forwards
+            mus, _lv = cog(torch.randn(B, 3620))
+            xt = dec(mus)
+            xp = dec(torch.randn(B, LATENT))
+            disc(torch.randn(B, 3, 100, 100), xt, xp, "REC")
+        for m in (cog, dec, disc):
+            m.eval()
+    model = ref_models.VaeGanCognitive(
+        device="cpu", encoder=cog, decoder=dec, discriminator=disc,
+        teacher_net=teacher, z_size=LATENT, stage=3)
+    for p in model.encoder.parameters():  # :244-245
+        p.requires_grad = False
+    return model
+
+
+def _vgan3_oracle(model, fmri, image, eps, z_p, lr, margin, equilibrium,
+                  lam):
+    """Stage-3 per-batch schedule (``train_vgan_stage3.py:320-410``):
+    forward = the mode-'vae' branch with NO distillation (gt_x = raw image);
+    decoder + discriminator train under the REAL equilibrium gate with
+    elementwise grad clamp +-1 (``:401-403,408-410``); encoder frozen.
+    Per-group grads at original weights = the historical retained-graph
+    semantics (see the stage-1 oracles)."""
+    import torch
+
+    dt = next(model.decoder.parameters()).dtype
+    model.train()
+    xf = torch.from_numpy(fmri).to(dt)
+    gt = nchw(image).to(dt)
+    opts = {}
+    for name in ("decoder", "discriminator"):  # :287-292 (RMSprop alpha .9)
+        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
+                                alpha=0.9, eps=1e-8, weight_decay=0,
+                                momentum=0, centered=False)
+        warm_rmsprop(o)
+        opts[name] = o
+    for p in model.encoder.parameters():  # :329-331
+        p.requires_grad = False
+    mus, lv = model.encoder(xf)
+    z = torch.from_numpy(eps).to(dt) * (0.5 * lv).exp() + mus
+    x_tilde = model.decoder(z)
+    x_p = model.decoder(torch.from_numpy(z_p).to(dt))
+    disc_layer = model.discriminator(gt, x_tilde, x_p, "REC")
+    disc_class = model.discriminator(gt, x_tilde, x_p, "GAN")
+    _nle, kld, mse, bo, bp, bs = type(model).loss(
+        gt, x_tilde, disc_layer[:B], disc_layer[B:2 * B], disc_layer[2 * B:],
+        disc_class[:B], disc_class[B:2 * B], disc_class[2 * B:], mus, lv)
+    loss_encoder = torch.sum(kld) + torch.sum(mse)  # logged only (:365)
+    loss_discriminator = torch.sum(bo) + torch.sum(bp) + torch.sum(bs)
+    loss_decoder = torch.sum(lam * mse) - (1.0 - lam) * loss_discriminator
+    train_dec = train_dis = True  # :382-389 (args.mode='vae-gan' default)
+    mbo, mbp = float(bo.mean()), float(bp.mean())
+    if mbo < equilibrium - margin or mbp < equilibrium - margin:
+        train_dis = False
+    if mbo > equilibrium + margin or mbp > equilibrium + margin:
+        train_dec = False
+    if not train_dec and not train_dis:
+        train_dec = train_dis = True
+    if train_dec:  # :400-405
+        ps, gs = group_grads(loss_decoder, model.decoder)
+        apply_grads(opts["decoder"], ps, gs, clamp=1.0)
+    if train_dis:  # :407-411
+        ps, gs = group_grads(loss_discriminator, model.discriminator,
+                             retain_graph=False)
+        apply_grads(opts["discriminator"], ps, gs, clamp=1.0)
+    return {"loss_encoder": float(loss_encoder) / B,
+            "loss_decoder": float(loss_decoder) / B,
+            "loss_discriminator": float(loss_discriminator) / B,
+            "train_dec": float(train_dec), "train_dis": float(train_dis)}
+
+
+@pytest.fixture(scope="module")
+def vgan3(vgan3_base, cfg):
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import RmsProp
+    from fmri_tpu.train.steps_vgan import make_vgan_cognitive_step
+
+    lr = cfg.train.learning_rate
+    margin, equilibrium = 0.35, 0.68
+    origin = _converted(vgan3_base, cfg, "vae-gan-cognitive")
+    opt = RmsProp(decay=cfg.train.rms_decay, eps=cfg.train.rms_eps, clip=1.0)
+    state = make_state(origin, {"decoder": opt, "discriminator": opt})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+
+    fmri, image = _fmri(8, cfg), _images(9)
+    rng = jax.random.key(55)
+    # PRNG contract (steps_vgan.py:500-503); eps_t is drawn but unused at
+    # stage 3 (no distillation).
+    k_eps, _k_t, k_zp = jax.random.split(rng, 3)
+    eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
+    z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
+
+    step = make_vgan_cognitive_step(cfg, stage=3, mode="vae-gan", donate=False)
+    new_state, metrics = step.train_step(
+        state, {"fmri": jnp.asarray(fmri), "image": jnp.asarray(image)}, rng,
+        jnp.float32(margin), jnp.float32(equilibrium), jnp.float32(LAMBDA_MSE))
+
+    m32 = copy.deepcopy(vgan3_base)
+    t32 = _vgan3_oracle(m32, fmri, image, eps, z_p, lr, margin, equilibrium,
+                        LAMBDA_MSE)
+    m64 = copy.deepcopy(vgan3_base).double()
+    t64 = _vgan3_oracle(m64, fmri, image, eps, z_p, lr, margin, equilibrium,
+                        LAMBDA_MSE)
+    assert (t32["train_dec"], t32["train_dis"]) == (
+        t64["train_dec"], t64["train_dis"])  # seed away from the knife edge
+    return dict(origin=origin, state=new_state, metrics=metrics,
+                after32=_converted(m32, cfg, "vae-gan-cognitive"),
+                after64=_converted(m64, cfg, "vae-gan-cognitive"),
+                torch32=t32, lr=lr)
+
+
+def test_vgan3_losses_match(vgan3):
+    m, t = vgan3["metrics"], vgan3["torch32"]
+    for k in ("loss_encoder", "loss_decoder", "loss_discriminator"):
+        np.testing.assert_allclose(float(m[k]), t[k], rtol=2e-5, atol=1e-5)
+
+
+def test_vgan3_gates_match(vgan3):
+    m, t = vgan3["metrics"], vgan3["torch32"]
+    assert float(m["train_dec"]) == t["train_dec"]
+    assert float(m["train_dis"]) == t["train_dis"]
+
+
+def test_vgan3_updates_match(vgan3):
+    """Decoder + discriminator updates (gate + clamp +-1) match; encoder and
+    teacher stay frozen on both sides.
+
+    rel=0.08 for the same reason as stage 2: x_tilde and x_p are computed
+    through the decoder stack, so cross-framework forward noise enters the
+    adversarial gradients (see ``assert_updates_match``)."""
+    assert_updates_match(vgan3["origin"], vgan3["state"].params,
+                         vgan3["after32"], vgan3["after64"], vgan3["lr"],
+                         ("decoder", "discriminator"), rel=0.08)
+    for grp in ("encoder", "teacher_encoder"):
+        o = leafdict(vgan3["origin"][grp]["params"])
+        j = leafdict(vgan3["state"].params[grp])
+        t = leafdict(vgan3["after32"][grp]["params"])
+        for ks in j:
+            np.testing.assert_array_equal(j[ks], o[ks], err_msg=f"jax {ks}")
+            np.testing.assert_array_equal(t[ks], o[ks], err_msg=f"torch {ks}")
+
+
+# --------------------------------------------------------------------------
+# WAE Stage III (train_wae_stage3.py: decoder recon fine-tune) — literal
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wae3_base(wae_base):
+    """Stage-3 assembly (``train_wae_stage3.py:208-245``): teacher WaeGan
+    from stage 1 (only its encoder is used; the module stays in ctor-default
+    train mode), model = WaeGanCognitive with the stage-2 cognitive encoder
+    (frozen per batch, ``:298``) and its OWN decoder — loaded from the
+    stage-2 checkpoint, a SEPARATE module from the teacher's decoder, unlike
+    stage 2's shared object — plus the ctor-fresh WaeDiscriminator."""
+    import torch
+
+    ref_models, _ = import_reference()
+    torch.manual_seed(41)
+    teacher = copy.deepcopy(wae_base)
+    for p in teacher.encoder.parameters():  # :210-211
+        p.requires_grad = False
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cog = ref_models.CognitiveEncoder(input_size=3620, z_size=LATENT)
+        with torch.no_grad():
+            cog.train()
+            cog(torch.randn(B, 3620))
+            cog.eval()
+        # stage-2 froze the decoder, so its weights equal the stage-1
+        # teacher's at stage-3 start — but as a distinct module
+        dec = copy.deepcopy(wae_base.decoder)
+        model = ref_models.WaeGanCognitive(
+            device="cpu", encoder=cog, decoder=dec, z_size=LATENT)
+    return model, teacher
+
+
+def _wae3_oracle(model, teacher, fmri, image):
+    """The reference's LITERAL stage-3 schedule
+    (``train_wae_stage3.py:296-347``): phase 1 trains the latent D (teacher
+    latents toward 0, cognitive latents toward 1); phase 2 trains the
+    DECODER on plain mean-MSE reconstruction — the penalty backward is
+    commented out (``:344``) — with the encoder frozen throughout.
+    Hard-coded Adam(0.5, 0.999) at dec 1e-3 / disc 5e-4 (``:258-260``)."""
+    import torch
+    import torch.nn as nn
+
+    dt = next(model.decoder.parameters()).dtype
+    model.train()  # :297
+    teacher.train()  # never toggled by the trainer; ctor default
+    xf = torch.from_numpy(fmri).to(dt)
+    xi = nchw(image).to(dt)
+    opt_d = torch.optim.Adam(model.decoder.parameters(), lr=0.001,
+                             betas=(0.5, 0.999))
+    opt_disc = torch.optim.Adam(model.discriminator.parameters(), lr=0.0005,
+                                betas=(0.5, 0.999))
+    warm_adam(opt_d)
+    warm_adam(opt_disc)
+    _free(model.encoder, False)  # frozen_params(model.encoder) :298
+    model.decoder.zero_grad()
+    model.discriminator.zero_grad()
+    # ---- Phase 1 (:306-326) ----
+    _free(model.decoder, False)
+    _free(model.discriminator, True)
+    z_fake, _ = model.encoder(xf)
+    z_real, _ = teacher.encoder(xi)
+    d_real = model.discriminator(z_real)
+    d_fake = model.discriminator(z_fake)
+    loss_fake = -10 * torch.sum(torch.log(d_fake + 1e-3))
+    loss_real = -10 * torch.sum(torch.log(1 - d_real + 1e-3))
+    loss_fake.backward(retain_graph=True)
+    loss_real.backward(retain_graph=True)
+    opt_disc.step()
+    # ---- Phase 2 (:328-347) ----
+    _free(model.decoder, True)
+    _free(model.discriminator, False)
+    z_real, _ = model.encoder(xf)
+    x_recon = model.decoder(z_real)
+    d_real = model.discriminator(z_real)
+    loss_reconstruction = nn.MSELoss()(x_recon, xi)
+    loss_penalty = -10 * torch.mean(torch.log(d_real + 1e-3))
+    loss_reconstruction.backward(retain_graph=True)
+    opt_d.step()
+    _free(model.discriminator, True)
+    return {"loss_reconstruction": float(loss_reconstruction),
+            "loss_penalty": float(loss_penalty),
+            "loss_discriminator_fake": float(loss_fake) / B,
+            "loss_discriminator_real": float(loss_real) / B}
+
+
+@pytest.fixture(scope="module")
+def wae3(wae3_base, cfg):
+    from fmri_tpu.checkpoints.torch_import import convert_visual_encoder
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import Adam
+    from fmri_tpu.train.steps_wae import make_wae_cognitive_step
+
+    model, teacher = wae3_base
+    origin = _converted(model, cfg, "wae-gan-cognitive")
+    origin["teacher_encoder"] = convert_visual_encoder(
+        to_dtype_sd(teacher), cfg, prefix="encoder.")
+    opt = Adam(b1=0.5, b2=0.999)
+    state = make_state(origin, {"decoder": opt, "latent_disc": opt})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+
+    fmri, image = _fmri(14, cfg), _images(15)
+    step = make_wae_cognitive_step(cfg, stage=3, donate=False)
+    new_state, metrics = step.train_step(
+        state, {"fmri": jnp.asarray(fmri), "image": jnp.asarray(image)},
+        jax.random.key(0))
+
+    m32, teach32 = copy.deepcopy((model, teacher))
+    t32 = _wae3_oracle(m32, teach32, fmri, image)
+    m64, teach64 = copy.deepcopy((model, teacher))
+    _wae3_oracle(m64.double(), teach64.double(), fmri, image)
+    return dict(origin=origin, state=new_state, metrics=metrics,
+                after32=_converted(m32, cfg, "wae-gan-cognitive"),
+                after64=_converted(m64, cfg, "wae-gan-cognitive"),
+                torch32=t32, lr={"decoder": 1e-3, "latent_disc": 5e-4})
+
+
+def test_wae3_losses_match(wae3):
+    m, t = wae3["metrics"], wae3["torch32"]
+    for k in ("loss_reconstruction", "loss_penalty",
+              "loss_discriminator_fake", "loss_discriminator_real"):
+        np.testing.assert_allclose(float(m[k]), t[k], rtol=1e-4, atol=1e-5)
+
+
+def test_wae3_updates_match(wae3):
+    """Decoder (pure-MSE phase 2) + latent-D updates match the literal
+    schedule; the cognitive encoder stays frozen on both sides."""
+    assert_updates_match(wae3["origin"], wae3["state"].params,
+                         wae3["after32"], wae3["after64"], wae3["lr"],
+                         ("decoder", "latent_disc"))
+    o = leafdict(wae3["origin"]["encoder"]["params"])
+    j = leafdict(wae3["state"].params["encoder"])
+    t = leafdict(wae3["after32"]["encoder"]["params"])
+    for ks in j:
+        np.testing.assert_array_equal(j[ks], o[ks], err_msg=f"jax {ks}")
+        np.testing.assert_array_equal(t[ks], o[ks], err_msg=f"torch {ks}")
+
+
+def test_wae3_decoder_bn_single_tick_matches(wae3):
+    """The reference's stage-3 batch loop decodes ONLY x_recon (no per-batch
+    teacher/gt decode, unlike stage 2) — one decoder BN tick per step.  The
+    fused step must land on the same running stats (this pins the stage-3
+    BN-base fix in ``steps_wae.py``)."""
+    j = leafdict(wae3["state"].batch_stats["decoder"])
+    t = leafdict(wae3["after32"]["decoder"]["batch_stats"])
+    for ks in j:
+        np.testing.assert_allclose(j[ks], t[ks], rtol=2e-4, atol=2e-4,
+                                   err_msg=str(ks))
