@@ -28,9 +28,16 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(cmd, env=None):
-    r = subprocess.run([sys.executable, "-m", *cmd], capture_output=True,
-                       text=True, cwd=ROOT, env=env or dict(os.environ))
+def _run(cmd, env=None, timeout=1800):
+    """One CLI stage, bounded: the tunneled TPU occasionally stalls a
+    device op indefinitely mid-run — a hung stage is killed and surfaced
+    as RuntimeError so the chain-level retry redoes it."""
+    try:
+        r = subprocess.run([sys.executable, "-m", *cmd], capture_output=True,
+                           text=True, cwd=ROOT, env=env or dict(os.environ),
+                           timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(f"{' '.join(cmd)} hung past {timeout}s") from e
     if r.returncode != 0:
         raise RuntimeError(f"{' '.join(cmd)} failed:\n{r.stderr[-4000:]}")
     return r.stdout
