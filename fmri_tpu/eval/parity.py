@@ -34,8 +34,7 @@ import argparse
 import json
 import os
 import sys
-import tempfile
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 _KIND_BY_FAMILY_STAGE = {
     ("vgan", 1): "vae-gan",
