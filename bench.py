@@ -377,12 +377,17 @@ SUITE = [
 ]
 
 
-def _suite_batch(name: str) -> int:
-    """Batch for a suite row: a trailing ``_b<N>`` overrides the default."""
+def _suite_batch(name: str, default: int) -> int:
+    """Batch for a suite row: a trailing ``_b<N>`` overrides ``default``.
+
+    ``default`` must be the pre-loop batch, NOT the current global — the
+    global is mutated per row, and falling back to it leaked batch 1024
+    into the rows after a ``_b1024`` one (caught by review; the round-3
+    inference/serving rows were silently captured at 1024)."""
     import re
 
     m = re.search(r"_b(\d+)$", name)
-    return int(m.group(1)) if m else BATCH
+    return int(m.group(1)) if m else default
 
 
 def main() -> None:
@@ -422,7 +427,7 @@ def main() -> None:
     if not fast:
         default_batch = BATCH
         for name, fn, preset in SUITE[1:]:
-            BATCH = _suite_batch(name)  # builders read the global at build
+            BATCH = _suite_batch(name, default_batch)  # builders read this
             try:
                 v = fn(preset)
                 results[name] = {

@@ -52,18 +52,28 @@ def _find_run_dir(root):
 def chain(preset: str, seed: int, epochs, synthetic_n: int, out_root: str):
     """stage1 -> stage2 -> stage3 -> inference summary dict.
 
-    Resumable at chain granularity: a completed chain's summary is reused,
-    a partial one (e.g. killed by a transient tunnel error — the axon TPU
-    occasionally drops a contact with FAILED_PRECONDITION) is wiped and
-    redone."""
+    Resumable at chain granularity: a completed chain's summary is reused
+    only when its recorded run parameters match this invocation's (a stale
+    workdir from a different --epochs/--synthetic-n would silently
+    mislabel the experiment); a partial or mismatched one (e.g. killed by
+    a transient tunnel error — the axon TPU occasionally drops a contact
+    with FAILED_PRECONDITION) is wiped and redone."""
+    params = {"preset": preset, "seed": seed, "epochs": list(epochs),
+              "synthetic_n": synthetic_n}
     summary_path = os.path.join(out_root, "inf", "summary.json")
-    if os.path.exists(summary_path):
-        with open(summary_path) as f:
-            return json.load(f)
+    params_path = os.path.join(out_root, "chain_params.json")
+    if os.path.exists(summary_path) and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) == params:
+                with open(summary_path) as f2:
+                    return json.load(f2)
     if os.path.exists(out_root):
         import shutil
 
         shutil.rmtree(out_root)
+    os.makedirs(out_root)
+    with open(params_path, "w") as f:
+        json.dump(params, f)
     base = ["fmri_tpu.train.run", "--preset", preset, "--dataset", "synthetic",
             "--synthetic-n", str(synthetic_n), "--seed", str(seed)]
     d1 = os.path.join(out_root, "s1")

@@ -419,21 +419,25 @@ class BatchingServer:
     def submit(self, x) -> Future:
         import numpy as np
 
-        if self._closing.is_set():
-            raise RuntimeError("server is shutting down")
         x = np.asarray(x, np.float32)
         want = self.model.sample_shape()
         if x.shape != want:
             raise ValueError(f"sample shape {x.shape} != expected {want}")
         fut: Future = Future()
-        try:
-            self._q.put_nowait((x, fut, time.monotonic()))
-        except queue.Full:
-            with self._slock:
+        # The closing check and the enqueue are one critical section with
+        # close()'s _closing.set(): otherwise a submit could pass the check,
+        # lose the CPU, and enqueue AFTER close()'s fail-fast sweep emptied
+        # the queue — an orphaned Future that never resolves.
+        with self._slock:
+            if self._closing.is_set():
+                raise RuntimeError("server is shutting down")
+            try:
+                self._q.put_nowait((x, fut, time.monotonic()))
+            except queue.Full:
                 self._shed += 1
-            raise ServerOverloaded(
-                f"queue depth at max_queue={self.max_queue}; retry with "
-                f"backoff") from None
+                raise ServerOverloaded(
+                    f"queue depth at max_queue={self.max_queue}; retry with "
+                    f"backoff") from None
         return fut
 
     def _loop(self) -> None:
@@ -505,7 +509,8 @@ class BatchingServer:
         submissions and let the worker finish every queued request (bounded
         by ``timeout``); any request still queued afterwards fails fast with
         an exception instead of hanging its Future forever."""
-        self._closing.set()
+        with self._slock:  # fence against in-flight submit() enqueues
+            self._closing.set()
         if drain:
             deadline = time.monotonic() + timeout
             while not self._q.empty() and time.monotonic() < deadline:

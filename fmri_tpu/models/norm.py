@@ -58,8 +58,19 @@ class BatchNorm(nn.BatchNorm):
                 "BatchNorm train mode implements the torch unbiased "
                 "running-var update for axis=-1 only (the repo-wide layout); "
                 f"got axis={self.axis}.")
+        if self.axis_name is not None:
+            # Under pmap/shard_map the parent syncs mean/var across the
+            # named axis, but `x.size` here counts only the LOCAL shard —
+            # the n/(n-1) correction would be silently wrong.  The repo is
+            # jit/GSPMD-only (global shapes), where x.size IS the global
+            # count; reject the one configuration that breaks the contract.
+            raise ValueError(
+                "BatchNorm train mode does not support axis_name: the "
+                "unbiased running-var correction needs the global element "
+                "count, and this trace sees only the local shard. Use "
+                "jit/GSPMD sharding (parallel/mesh.py) instead of pmap.")
         c = x.shape[-1]
-        n = x.size // c  # reduced elements per channel (global under SPMD)
+        n = x.size // c  # reduced elements per channel (global under GSPMD)
         if not self.pallas:
             # read/write around the parent without re-declaring the variable
             # (compact modules allow each declaration once per call)

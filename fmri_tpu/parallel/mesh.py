@@ -105,19 +105,48 @@ def shard_batch_multihost(batch: Any, mesh: Mesh, voxel_tp: bool = False) -> Any
     return jax.tree_util.tree_map_with_path(place, batch)
 
 
+def _tp_kernel_match(layer: str):
+    """Predicate for 'the 2-D ``kernel`` leaf under module ``layer``' —
+    the ONE matching rule both the spec side and the placement side use
+    (params and optimizer moments mirror the same tree structure, so the
+    same match covers both; the ndim guard skips scalar bookkeeping
+    leaves)."""
+
+    def match(path, leaf=None) -> bool:
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        return (layer in keys and bool(keys) and keys[-1] == "kernel"
+                and (leaf is None or np.ndim(leaf) == 2))
+
+    return match
+
+
+def _tp_specs(params: Any, layer: str) -> Any:
+    match = _tp_kernel_match(layer)
+
+    def spec(path, leaf):
+        return P(MODEL_AXIS, None) if match(path, leaf) else P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _tp_place(tree: Any, mesh: Mesh, layer: str) -> Any:
+    """Leaf placement derived from the same match as :func:`_tp_specs`."""
+    match = _tp_kernel_match(layer)
+
+    def place(path, leaf):
+        if match(path, leaf):
+            return jax.device_put(leaf, NamedSharding(mesh, P(MODEL_AXIS, None)))
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
 def cognitive_param_specs(params: Any) -> Any:
     """PartitionSpecs for a cognitive-encoder group: ``fc1`` kernel sharded
     [voxels -> model, hidden] (1-D tensor parallelism over the voxel axis:
     each model-shard computes a partial matmul, XLA inserts the psum); all
     other leaves replicated."""
-
-    def spec(path, leaf):
-        keys = [getattr(k, "key", None) for k in path]
-        if "fc1" in keys and keys[-1] == "kernel":
-            return P(MODEL_AXIS, None)
-        return P()
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return _tp_specs(params, "fc1")
 
 
 def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
@@ -129,17 +158,9 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
 
 
 def _voxel_tp_place(tree: Any, mesh: Mesh) -> Any:
-    """Shard any leaf living under an ``fc1 -> kernel`` path over the model
-    axis (covers the parameter itself and the optimizer moments, which mirror
-    the parameter tree structure); everything else replicated."""
-
-    def place(path, leaf):
-        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
-        if "fc1" in keys and keys[-1] == "kernel" and np.ndim(leaf) == 2:
-            return jax.device_put(leaf, NamedSharding(mesh, P(MODEL_AXIS, None)))
-        return jax.device_put(leaf, replicated(mesh))
-
-    return jax.tree_util.tree_map_with_path(place, tree)
+    """Placement mirroring :func:`cognitive_param_specs` (params AND
+    optimizer moments)."""
+    return _tp_place(tree, mesh, "fc1")
 
 
 def decoder_param_specs(params: Any) -> Any:
@@ -156,27 +177,13 @@ def decoder_param_specs(params: Any) -> Any:
     first DecoderBlock into GSPMD's spatially-partitioned *lhs-dilated*
     conv path — measured numerically divergent weight grads on the 2-way
     CPU mesh (wrong, not just slow), see tests/test_mesh.py."""
-
-    def spec(path, leaf):
-        keys = [getattr(k, "key", None) for k in path]
-        if "Dense_0" in keys and keys[-1] == "kernel":
-            return P(MODEL_AXIS, None)
-        return P()
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return _tp_specs(params, "Dense_0")
 
 
 def _decoder_tp_place(tree: Any, mesh: Mesh) -> Any:
     """Leaf placement mirroring :func:`decoder_param_specs` (params AND
     optimizer moments, which share the tree structure)."""
-
-    def place(path, leaf):
-        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
-        if "Dense_0" in keys and keys[-1] == "kernel" and np.ndim(leaf) == 2:
-            return jax.device_put(leaf, NamedSharding(mesh, P(MODEL_AXIS, None)))
-        return jax.device_put(leaf, replicated(mesh))
-
-    return jax.tree_util.tree_map_with_path(place, tree)
+    return _tp_place(tree, mesh, "Dense_0")
 
 
 def shard_state(state: Any, mesh: Mesh, voxel_tp: bool = False,
