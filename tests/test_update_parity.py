@@ -557,6 +557,90 @@ def test_wae1_encoder_bn_double_tick_matches(wae1):
                                    err_msg=ks)
 
 
+def test_wae1_trajectory_losses(wae_base, cfg):
+    """20-step stage-1 WAE trajectory from identical weights/noise: the
+    two-phase Adam game's four per-step losses track the literal reference
+    schedule (``train_wae_stage1.py:259-311``) run with PERSISTENT
+    optimizers — Adam moments, bias-correction counters and the BN
+    double-tick stay in lock across steps, not just for one update.
+
+    Same widening tolerance schedule as the vgan trajectory (fp32 rounding
+    differences compound through the adversarial dynamics): rtol 3e-3 for
+    the first 8 steps, +1.5e-3 per further step."""
+    import torch
+
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import Adam
+    from fmri_tpu.train.steps_wae import make_wae_stage1_step
+
+    lr = cfg.train.learning_rate
+    origin = _converted(wae_base, cfg, "wae-gan")
+    opt = Adam(b1=cfg.train.adam_b1, b2=cfg.train.adam_b2)
+    state = make_state(origin, {k: opt for k in origin})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_wae_stage1_step(cfg, donate=False)
+
+    model = copy.deepcopy(wae_base)
+    model.train()
+    opt_e = torch.optim.Adam(model.encoder.parameters(), lr=lr,
+                             betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(model.decoder.parameters(), lr=lr,
+                             betas=(0.5, 0.999))
+    opt_disc = torch.optim.Adam(model.discriminator.parameters(),
+                                lr=0.5 * lr, betas=(0.5, 0.999))
+    for o in (opt_e, opt_d, opt_disc):
+        warm_adam(o)
+
+    base = jax.random.key(77)
+    for i in range(TRAJ_STEPS):
+        x = _images(300 + i)
+        rng = jax.random.fold_in(base, i)
+        # mirror make_wae_stage1_step's PRNG contract (steps_wae.py:62-63)
+        z_fake = np.asarray(
+            cfg.train.wae_sigma
+            * jax.random.normal(rng, (B, LATENT), jnp.float32))
+
+        state, m = step.train_step(state, jnp.asarray(x), rng)
+
+        # torch: the literal schedule (:259-311) with persistent optimizers
+        xt = nchw(x)
+        model.encoder.zero_grad()
+        model.decoder.zero_grad()
+        model.discriminator.zero_grad()
+        _free(model.decoder, False)
+        _free(model.encoder, False)
+        _free(model.discriminator, True)
+        z_real, _ = model.encoder(xt)
+        d_real = model.discriminator(z_real)
+        d_fake = model.discriminator(torch.from_numpy(z_fake))
+        loss_fake = -10 * torch.sum(torch.log(d_fake + 1e-3))
+        loss_real = -10 * torch.sum(torch.log(1 - d_real + 1e-3))
+        loss_fake.backward(retain_graph=True)
+        loss_real.backward(retain_graph=True)
+        opt_disc.step()
+        _free(model.encoder, True)
+        _free(model.decoder, True)
+        _free(model.discriminator, False)
+        z_real, _ = model.encoder(xt)
+        x_recon = model.decoder(z_real)
+        d_real = model.discriminator(z_real)
+        loss_rec = torch.sum(torch.sum(0.5 * (x_recon - xt) ** 2, 1))
+        loss_pen = -10 * torch.sum(torch.log(d_real + 1e-3))
+        loss_rec.backward(retain_graph=True)
+        loss_pen.backward()
+        opt_e.step()
+        opt_d.step()
+
+        rtol = 3e-3 + 1.5e-3 * max(0, i - 7)  # drift widens past step 8
+        for key, val in (("loss_reconstruction", loss_rec),
+                         ("loss_penalty", loss_pen),
+                         ("loss_discriminator_fake", loss_fake),
+                         ("loss_discriminator_real", loss_real)):
+            np.testing.assert_allclose(float(m[key]), float(val) / B,
+                                       rtol=rtol, atol=1e-4,
+                                       err_msg=f"step {i} {key}")
+
+
 # --------------------------------------------------------------------------
 # WAE Stage II (train_wae_stage2.py: latent alignment) — literal schedule
 # --------------------------------------------------------------------------
