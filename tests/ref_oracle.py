@@ -155,7 +155,8 @@ def leafdict(tree):
 
 
 def assert_updates_match(origin_groups, jax_params, after32, after64, lr,
-                         group_names, ratio=5.0, floor=5e-4, rel=0.0):
+                         group_names, ratio=5.0, floor=5e-4, rel=0.0,
+                         key="params"):
     """Three-way self-calibrating update comparison.
 
     For every leaf, the JAX step's parameter delta (in units of ``lr``) must
@@ -175,13 +176,18 @@ def assert_updates_match(origin_groups, jax_params, after32, after64, lr,
     far above any sensible ``rel``.
 
     ``lr`` may be a float or a {group: float} dict.
+
+    ``key`` selects which converted sub-tree to compare: ``"params"``
+    (default) or ``"batch_stats"`` (with ``lr=1`` the same machinery
+    bounds running-stat trajectories — the delta from origin is the
+    "update").
     """
     for grp in group_names:
         glr = lr[grp] if isinstance(lr, dict) else lr
-        o = leafdict(origin_groups[grp]["params"])
+        o = leafdict(origin_groups[grp][key])
         j = leafdict(jax_params[grp])
-        t32 = leafdict(after32[grp]["params"])
-        t64 = leafdict(after64[grp]["params"])
+        t32 = leafdict(after32[grp][key])
+        t64 = leafdict(after64[grp][key])
         assert set(j) == set(t32) == set(t64) == set(o), grp
         for ks in j:
             dj = (j[ks] - o[ks]) / glr

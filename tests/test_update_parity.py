@@ -557,30 +557,15 @@ def test_wae1_encoder_bn_double_tick_matches(wae1):
                                    err_msg=ks)
 
 
-def test_wae1_trajectory_losses(wae_base, cfg):
-    """20-step stage-1 WAE trajectory from identical weights/noise: the
-    two-phase Adam game's four per-step losses track the literal reference
-    schedule (``train_wae_stage1.py:259-311``) run with PERSISTENT
-    optimizers — Adam moments, bias-correction counters and the BN
-    double-tick stay in lock across steps, not just for one update.
-
-    Same widening tolerance schedule as the vgan trajectory (fp32 rounding
-    differences compound through the adversarial dynamics): rtol 3e-3 for
-    the first 8 steps, +1.5e-3 per further step."""
+def _wae1_torch_traj(wae_base, cfg, inputs, dtype, losses_out=None):
+    """The literal stage-1 WAE schedule (``train_wae_stage1.py:259-311``)
+    run for ``len(inputs)`` steps with PERSISTENT optimizers at ``dtype``.
+    Returns the final model; per-step loss tensors append to
+    ``losses_out`` when given."""
     import torch
 
-    from fmri_tpu.train import make_state
-    from fmri_tpu.train.optim import Adam
-    from fmri_tpu.train.steps_wae import make_wae_stage1_step
-
     lr = cfg.train.learning_rate
-    origin = _converted(wae_base, cfg, "wae-gan")
-    opt = Adam(b1=cfg.train.adam_b1, b2=cfg.train.adam_b2)
-    state = make_state(origin, {k: opt for k in origin})
-    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
-    step = make_wae_stage1_step(cfg, donate=False)
-
-    model = copy.deepcopy(wae_base)
+    model = copy.deepcopy(wae_base).to(dtype)
     model.train()
     opt_e = torch.optim.Adam(model.encoder.parameters(), lr=lr,
                              betas=(0.5, 0.999))
@@ -591,19 +576,8 @@ def test_wae1_trajectory_losses(wae_base, cfg):
     for o in (opt_e, opt_d, opt_disc):
         warm_adam(o)
 
-    base = jax.random.key(77)
-    for i in range(TRAJ_STEPS):
-        x = _images(300 + i)
-        rng = jax.random.fold_in(base, i)
-        # mirror make_wae_stage1_step's PRNG contract (steps_wae.py:62-63)
-        z_fake = np.asarray(
-            cfg.train.wae_sigma
-            * jax.random.normal(rng, (B, LATENT), jnp.float32))
-
-        state, m = step.train_step(state, jnp.asarray(x), rng)
-
-        # torch: the literal schedule (:259-311) with persistent optimizers
-        xt = nchw(x)
+    for x, z_fake in inputs:
+        xt = nchw(x).to(dtype)
         model.encoder.zero_grad()
         model.decoder.zero_grad()
         model.discriminator.zero_grad()
@@ -612,7 +586,7 @@ def test_wae1_trajectory_losses(wae_base, cfg):
         _free(model.discriminator, True)
         z_real, _ = model.encoder(xt)
         d_real = model.discriminator(z_real)
-        d_fake = model.discriminator(torch.from_numpy(z_fake))
+        d_fake = model.discriminator(torch.from_numpy(z_fake).to(dtype))
         loss_fake = -10 * torch.sum(torch.log(d_fake + 1e-3))
         loss_real = -10 * torch.sum(torch.log(1 - d_real + 1e-3))
         loss_fake.backward(retain_graph=True)
@@ -630,15 +604,78 @@ def test_wae1_trajectory_losses(wae_base, cfg):
         loss_pen.backward()
         opt_e.step()
         opt_d.step()
+        if losses_out is not None:
+            losses_out.append({"loss_reconstruction": float(loss_rec.detach()),
+                               "loss_penalty": float(loss_pen.detach()),
+                               "loss_discriminator_fake": float(loss_fake.detach()),
+                               "loss_discriminator_real": float(loss_real.detach())})
+    return model
 
+
+def test_wae1_trajectory_losses(wae_base, cfg):
+    """20-step stage-1 WAE trajectory from identical weights/noise: the
+    two-phase Adam game's four per-step losses track the literal reference
+    schedule (``train_wae_stage1.py:259-311``) run with PERSISTENT
+    optimizers — Adam moments, bias-correction counters and the BN
+    double-tick stay in lock across steps, not just for one update.
+
+    Same widening tolerance schedule as the vgan trajectory (fp32 rounding
+    differences compound through the adversarial dynamics): rtol 3e-3 for
+    the first 8 steps, +1.5e-3 per further step.
+
+    The trajectory ENDPOINT is anchored too (loss agreement alone would
+    miss slow parameter/BN-stat drift inside the loss tolerance): the torch
+    schedule runs a second time at fp64, and the JAX step-20 parameters and
+    running stats must sit within the fp32 oracle's own trajectory-level
+    distance from the fp64 truth (plus the cross-framework forward-noise
+    allowance ``rel`` — the two torch runs share bit-identical composition,
+    so their mutual distance misses it)."""
+    import torch
+
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import Adam
+    from fmri_tpu.train.steps_wae import make_wae_stage1_step
+
+    lr = cfg.train.learning_rate
+    origin = _converted(wae_base, cfg, "wae-gan")
+    opt = Adam(b1=cfg.train.adam_b1, b2=cfg.train.adam_b2)
+    state = make_state(origin, {k: opt for k in origin})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_wae_stage1_step(cfg, donate=False)
+
+    base = jax.random.key(77)
+    inputs, jax_metrics = [], []
+    for i in range(TRAJ_STEPS):
+        x = _images(300 + i)
+        rng = jax.random.fold_in(base, i)
+        # mirror make_wae_stage1_step's PRNG contract (steps_wae.py:62-63)
+        z_fake = np.asarray(
+            cfg.train.wae_sigma
+            * jax.random.normal(rng, (B, LATENT), jnp.float32))
+        inputs.append((x, z_fake))
+        state, m = step.train_step(state, jnp.asarray(x), rng)
+        jax_metrics.append(m)
+
+    losses32 = []
+    model32 = _wae1_torch_traj(wae_base, cfg, inputs, torch.float32, losses32)
+    for i, (m, t) in enumerate(zip(jax_metrics, losses32)):
         rtol = 3e-3 + 1.5e-3 * max(0, i - 7)  # drift widens past step 8
-        for key, val in (("loss_reconstruction", loss_rec),
-                         ("loss_penalty", loss_pen),
-                         ("loss_discriminator_fake", loss_fake),
-                         ("loss_discriminator_real", loss_real)):
+        for key, val in t.items():
             np.testing.assert_allclose(float(m[key]), float(val) / B,
                                        rtol=rtol, atol=1e-4,
                                        err_msg=f"step {i} {key}")
+
+    # endpoint: params + running stats vs the fp64-calibrated torch pair
+    model64 = _wae1_torch_traj(wae_base, cfg, inputs, torch.float64)
+    t32 = _converted(model32, cfg, "wae-gan")
+    t64 = _converted(model64, cfg, "wae-gan")
+    lrs = {"encoder": lr, "decoder": lr, "latent_disc": 0.5 * lr}
+    assert_updates_match(origin, state.params, t32, t64, lrs,
+                         ("encoder", "decoder", "latent_disc"),
+                         ratio=5.0, floor=5e-4, rel=0.05)
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder"), key="batch_stats",
+                         ratio=5.0, floor=1e-5, rel=0.02)
 
 
 # --------------------------------------------------------------------------
@@ -791,6 +828,79 @@ def test_wae2_updates_match(wae2):
 TRAJ_STEPS = 20
 
 
+def _vgan1_torch_traj(vgan_base, cfg, inputs, dtype, margin, equilibrium,
+                      records=None, gate_schedule=None):
+    """The reference's gated stage-1 schedule (``train_vgan_stage1.py:
+    316-432``, historical semantics) run for ``len(inputs)`` steps with
+    PERSISTENT RMSprop optimizers at ``dtype``.  Appends per-step records
+    (losses, bce means, gates) to ``records`` when given.  When
+    ``gate_schedule`` is given, the recorded (train_dec, train_dis)
+    decisions replay instead of re-deriving them — used by the fp64
+    calibration run so the discrete path is shared with fp32 (a knife-edge
+    gate flip is a legitimate precision effect that would otherwise poison
+    the conditioning yardstick)."""
+    import torch
+
+    lr = cfg.train.learning_rate
+    model = copy.deepcopy(vgan_base).to(dtype)
+    model.train()
+    opts = {}
+    for name in ("encoder", "decoder", "discriminator"):
+        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
+                                alpha=0.9, eps=1e-8, weight_decay=0,
+                                momentum=0, centered=False)
+        warm_rmsprop(o)
+        opts[name] = o
+
+    for i, (x, eps, z_p) in enumerate(inputs):
+        xt = nchw(x).to(dtype)
+        mus, lv = model.encoder(xt)
+        z = torch.from_numpy(eps).to(dtype) * (0.5 * lv).exp() + mus
+        x_tilde = model.decoder(z)
+        x_p = model.decoder(torch.from_numpy(z_p).to(dtype))
+        disc_layer = model.discriminator(xt, x_tilde, x_p, "REC")
+        disc_class = model.discriminator(xt, x_tilde, x_p, "GAN")
+        _, kld, mse, bo, bp, bs = type(model).loss(
+            xt, x_tilde, disc_layer[:B], disc_layer[B:2 * B],
+            disc_layer[2 * B:], disc_class[:B], disc_class[B:2 * B],
+            disc_class[2 * B:], mus, lv)
+        loss_encoder = torch.sum(kld) + torch.sum(mse)
+        loss_discriminator = torch.sum(bo) + torch.sum(bp) + torch.sum(bs)
+        loss_decoder = (torch.sum(LAMBDA_MSE * mse)
+                        - (1.0 - LAMBDA_MSE) * loss_discriminator)
+        if gate_schedule is not None:
+            train_dec, train_dis = gate_schedule[i]
+        else:
+            train_dec = train_dis = True
+            mbo, mbp = float(bo.detach().mean()), float(bp.detach().mean())
+            if mbo < equilibrium - margin or mbp < equilibrium - margin:
+                train_dis = False
+            if mbo > equilibrium + margin or mbp > equilibrium + margin:
+                train_dec = False
+            if not train_dec and not train_dis:
+                train_dec = train_dis = True
+        if records is not None:
+            records.append({"loss_encoder": float(loss_encoder.detach()),
+                            "loss_discriminator":
+                                float(loss_discriminator.detach()),
+                            "bce_means": (float(bo.detach().mean()),
+                                          float(bp.detach().mean())),
+                            "gates": (train_dec, train_dis)})
+
+        ps, gs = group_grads(loss_encoder, model.encoder)
+        apply_grads(opts["encoder"], ps, gs)
+        if train_dec:
+            ps, gs = group_grads(loss_decoder, model.decoder)
+            apply_grads(opts["decoder"], ps, gs)
+        if train_dis:
+            ps, gs = group_grads(loss_discriminator, model.discriminator,
+                                 retain_graph=False)
+            apply_grads(opts["discriminator"], ps, gs)
+        else:
+            model.discriminator.zero_grad()
+    return model
+
+
 def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
     """20-step trajectory from identical weights/noise with the reference's
     real margin/equilibrium (0.35/0.68, ``gan_config.py:36-40``): per-step
@@ -802,12 +912,22 @@ def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
     compound through the adversarial dynamics, so the loss comparison widens
     with depth — rtol 3e-3 for the first 8 steps (single-step conditioning,
     matching the one-step oracles) then +1.5e-3 per further step
-    (empirically ~2x the observed drift envelope at step 20)."""
-    import torch
+    (empirically ~2x the observed drift envelope at step 20).
 
+    The ENDPOINT is anchored like the WAE trajectory: a second torch run at
+    fp64 (replaying the fp32 gate schedule — see ``_vgan1_torch_traj``)
+    calibrates the reachable trajectory precision, and the JAX step-20
+    parameters and encoder/decoder running stats must land within it.  The
+    discriminator's running stats are excluded by design: the fused pass
+    ticks its conv BNs once where the reference's REC+GAN double call ticks
+    twice — the delta is pinned exactly (single-step) by
+    ``test_vgan1_disc_bn_ema_single_vs_double_tick`` and running stats do
+    not feed the train-mode forward, so the trajectory is unaffected."""
     from fmri_tpu.train import make_state
     from fmri_tpu.train.optim import RmsProp
     from fmri_tpu.train.steps_vgan import make_vgan_stage1_step
+
+    import torch
 
     lr = cfg.train.learning_rate
     margin, equilibrium = 0.35, 0.68
@@ -817,80 +937,56 @@ def test_vgan1_trajectory_losses_and_gates(vgan_base, cfg):
     state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
     step = make_vgan_stage1_step(cfg, mode="vae-gan", donate=False)
 
-    model = copy.deepcopy(vgan_base)
-    model.train()
-    opts = {}
-    for name in ("encoder", "decoder", "discriminator"):
-        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
-                                alpha=0.9, eps=1e-8, weight_decay=0,
-                                momentum=0, centered=False)
-        warm_rmsprop(o)
-        opts[name] = o
-
     base = jax.random.key(99)
-    n_gates_checked = 0
+    inputs, jax_metrics = [], []
     for i in range(TRAJ_STEPS):
         x = _images(100 + i)
         rng = jax.random.fold_in(base, i)
         k_eps, k_zp = jax.random.split(rng)
         eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
         z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
-
+        inputs.append((x, eps, z_p))
         state, m = step.train_step(
             state, jnp.asarray(x), rng, jnp.float32(margin),
             jnp.float32(equilibrium), jnp.float32(LAMBDA_MSE))
+        jax_metrics.append(m)
 
-        # torch: forward + gate + gated historical schedule (:396-432)
-        xt = nchw(x)
-        mus, lv = model.encoder(xt)
-        z = torch.from_numpy(eps) * (0.5 * lv).exp() + mus
-        x_tilde = model.decoder(z)
-        x_p = model.decoder(torch.from_numpy(z_p))
-        disc_layer = model.discriminator(xt, x_tilde, x_p, "REC")
-        disc_class = model.discriminator(xt, x_tilde, x_p, "GAN")
-        _, kld, mse, bo, bp, bs = type(model).loss(
-            xt, x_tilde, disc_layer[:B], disc_layer[B:2 * B],
-            disc_layer[2 * B:], disc_class[:B], disc_class[B:2 * B],
-            disc_class[2 * B:], mus, lv)
-        loss_encoder = torch.sum(kld) + torch.sum(mse)
-        loss_discriminator = torch.sum(bo) + torch.sum(bp) + torch.sum(bs)
-        loss_decoder = (torch.sum(LAMBDA_MSE * mse)
-                        - (1.0 - LAMBDA_MSE) * loss_discriminator)
-        train_dec = train_dis = True
-        mbo, mbp = float(bo.mean()), float(bp.mean())
-        if mbo < equilibrium - margin or mbp < equilibrium - margin:
-            train_dis = False
-        if mbo > equilibrium + margin or mbp > equilibrium + margin:
-            train_dec = False
-        if not train_dec and not train_dis:
-            train_dec = train_dis = True
-
+    recs32 = []
+    model32 = _vgan1_torch_traj(vgan_base, cfg, inputs, torch.float32,
+                                margin, equilibrium, records=recs32)
+    n_gates_checked = 0
+    for i, (m, t) in enumerate(zip(jax_metrics, recs32)):
         rtol = 3e-3 + 1.5e-3 * max(0, i - 7)  # drift widens past step 8
         np.testing.assert_allclose(float(m["loss_encoder"]),
-                                   float(loss_encoder) / B, rtol=rtol,
+                                   float(t["loss_encoder"]) / B, rtol=rtol,
                                    err_msg=f"step {i}")
         np.testing.assert_allclose(float(m["loss_discriminator"]),
-                                   float(loss_discriminator) / B, rtol=rtol,
-                                   err_msg=f"step {i}")
+                                   float(t["loss_discriminator"]) / B,
+                                   rtol=rtol, err_msg=f"step {i}")
+        mbo, mbp = t["bce_means"]
         edge = min(abs(mbo - (equilibrium - margin)),
                    abs(mbp - (equilibrium - margin)),
                    abs(mbo - (equilibrium + margin)),
                    abs(mbp - (equilibrium + margin)))
         if edge > 1e-3:
+            train_dec, train_dis = t["gates"]
             assert float(m["train_dec"]) == float(train_dec), f"step {i}"
             assert float(m["train_dis"]) == float(train_dis), f"step {i}"
             n_gates_checked += 1
-
-        ps, gs = group_grads(loss_encoder, model.encoder)
-        apply_grads(opts["encoder"], ps, gs)
-        if train_dec:
-            ps, gs = group_grads(loss_decoder, model.decoder)
-            apply_grads(opts["decoder"], ps, gs)
-        if train_dis:
-            ps, gs = group_grads(loss_discriminator, model.discriminator,
-                                 retain_graph=False)
-            apply_grads(opts["discriminator"], ps, gs)
     assert n_gates_checked >= TRAJ_STEPS - 4  # the gate comparison ran
+
+    # endpoint: params + running stats vs the fp64-calibrated torch pair
+    model64 = _vgan1_torch_traj(vgan_base, cfg, inputs, torch.float64,
+                                margin, equilibrium,
+                                gate_schedule=[t["gates"] for t in recs32])
+    t32 = _converted(model32, cfg, "vae-gan")
+    t64 = _converted(model64, cfg, "vae-gan")
+    assert_updates_match(origin, state.params, t32, t64, lr,
+                         ("encoder", "decoder", "discriminator"),
+                         ratio=5.0, floor=5e-4, rel=0.05)
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder"), key="batch_stats",
+                         ratio=5.0, floor=1e-5, rel=0.02)
 
 
 # --------------------------------------------------------------------------
@@ -1217,3 +1313,263 @@ def test_wae3_decoder_bn_single_tick_matches(wae3):
     for ks in j:
         np.testing.assert_allclose(j[ks], t[ks], rtol=2e-4, atol=2e-4,
                                    err_msg=str(ks))
+
+
+# --------------------------------------------------------------------------
+# Trajectories: stage-2 distillation (vgan) and latent alignment (wae)
+# --------------------------------------------------------------------------
+
+TRAJ2_STEPS = 12  # stage-2 oracles are ~3x a stage-1 step (3 decodes +
+#                   teacher + 3-way disc at res100); drift that the endpoint
+#                   anchor hunts compounds per step, so 12 already separates
+#                   structural errors (O(30-200%)) from fp32 conditioning
+
+
+def _vgan2_torch_traj(vgan2_base, cfg, inputs, dtype, records=None):
+    """The reference's stage-2 per-batch schedule
+    (``train_vgan_stage2.py:321-407``) for ``len(inputs)`` steps with
+    PERSISTENT RMSprop optimizers (clamp +-1) at ``dtype``; decoder and
+    teacher frozen throughout (``:221-222,328-329``)."""
+    import torch
+
+    lr = cfg.train.learning_rate
+    model = copy.deepcopy(vgan2_base).to(dtype)
+    model.train()
+    opts = {}
+    for name in ("encoder", "discriminator"):
+        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
+                                alpha=0.9, eps=1e-8, weight_decay=0,
+                                momentum=0, centered=False)
+        warm_rmsprop(o)
+        opts[name] = o
+    for p in model.teacher_net.encoder.parameters():  # vae_gan.py:369-370
+        p.requires_grad = False
+
+    for fmri, image, eps, eps_t, z_p in inputs:
+        xf = torch.from_numpy(fmri).to(dtype)
+        gt = nchw(image).to(dtype)
+        mus, lv = model.encoder(xf)
+        z = torch.from_numpy(eps).to(dtype) * (0.5 * lv).exp() + mus
+        x_tilde = model.decoder(z)
+        mu_t, lv_t = model.teacher_net.encoder(gt)
+        z_t = torch.from_numpy(eps_t).to(dtype) * (0.5 * lv_t).exp() + mu_t
+        gt_x = model.decoder(z_t)
+        x_p = model.decoder(torch.from_numpy(z_p).to(dtype))
+        disc_layer = model.discriminator(gt_x, x_tilde, x_p, "REC")
+        disc_class = model.discriminator(gt_x, x_tilde, x_p, "GAN")
+        _, kld, mse, bo, bp, bs = type(model).loss(
+            gt_x, x_tilde, disc_layer[:B], disc_layer[B:2 * B],
+            disc_layer[2 * B:], disc_class[:B], disc_class[B:2 * B],
+            disc_class[2 * B:], mus, lv)
+        loss_encoder = torch.sum(kld) + torch.sum(mse)
+        loss_discriminator = torch.sum(bo) + torch.sum(bp) + torch.sum(bs)
+        if records is not None:
+            records.append({"loss_encoder": float(loss_encoder.detach()),
+                            "loss_discriminator":
+                                float(loss_discriminator.detach())})
+        ps, gs = group_grads(loss_encoder, model.encoder)
+        apply_grads(opts["encoder"], ps, gs, clamp=1.0)  # :389-393
+        ps, gs = group_grads(loss_discriminator, model.discriminator,
+                             retain_graph=False)
+        apply_grads(opts["discriminator"], ps, gs, clamp=1.0)  # :404-407
+    return model
+
+
+def test_vgan2_trajectory(vgan2_base, cfg):
+    """12-step stage-2 distillation trajectory from identical weights/noise:
+    per-step encoder/discriminator losses track the literal clamp-+-1
+    RMSprop schedule with persistent moments, and the ENDPOINT parameters
+    and running stats land within the fp64-calibrated torch pair (plus the
+    ``rel`` forward-noise allowance — stage 2's discriminator sees only
+    COMPUTED images, see ``test_vgan2_updates_match``).
+
+    Endpoint stats cover encoder, decoder AND teacher_encoder (each ticks
+    1:1 with the reference: cog once, decoder three times, teacher once per
+    step); the discriminator's conv-BN double-tick delta is pinned
+    single-step by ``test_vgan1_disc_bn_ema_single_vs_double_tick``."""
+    import torch
+
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import RmsProp
+    from fmri_tpu.train.steps_vgan import make_vgan_cognitive_step
+
+    lr = cfg.train.learning_rate
+    origin = _converted(vgan2_base, cfg, "vae-gan-cognitive")
+    opt = RmsProp(decay=cfg.train.rms_decay, eps=cfg.train.rms_eps, clip=1.0)
+    state = make_state(origin, {"encoder": opt, "discriminator": opt})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_vgan_cognitive_step(cfg, stage=2, mode="vae-gan",
+                                    donate=False)
+
+    base = jax.random.key(55)
+    inputs, jax_metrics = [], []
+    for i in range(TRAJ2_STEPS):
+        fmri, image = _fmri(600 + i, cfg), _images(700 + i)
+        rng = jax.random.fold_in(base, i)
+        # mirror make_vgan_cognitive_step's PRNG contract (steps_vgan.py)
+        k_eps, k_t, k_zp = jax.random.split(rng, 3)
+        eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
+        eps_t = np.asarray(jax.random.normal(k_t, (B, LATENT), jnp.float32))
+        z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
+        inputs.append((fmri, image, eps, eps_t, z_p))
+        state, m = step.train_step(
+            state, {"fmri": jnp.asarray(fmri), "image": jnp.asarray(image)},
+            rng, jnp.float32(0.35), jnp.float32(0.68),
+            jnp.float32(LAMBDA_MSE))
+        jax_metrics.append(m)
+
+    recs32 = []
+    model32 = _vgan2_torch_traj(vgan2_base, cfg, inputs, torch.float32,
+                                records=recs32)
+    for i, (m, t) in enumerate(zip(jax_metrics, recs32)):
+        rtol = 3e-3 + 1.5e-3 * max(0, i - 7)
+        for k in ("loss_encoder", "loss_discriminator"):
+            np.testing.assert_allclose(float(m[k]), t[k] / B, rtol=rtol,
+                                       atol=1e-4, err_msg=f"step {i} {k}")
+
+    model64 = _vgan2_torch_traj(vgan2_base, cfg, inputs, torch.float64)
+    t32 = _converted(model32, cfg, "vae-gan-cognitive")
+    t64 = _converted(model64, cfg, "vae-gan-cognitive")
+    assert_updates_match(origin, state.params, t32, t64, lr,
+                         ("encoder", "discriminator"),
+                         ratio=5.0, floor=5e-4, rel=0.12)
+    for grp in ("decoder", "teacher_encoder"):  # frozen on both sides
+        o = leafdict(origin[grp]["params"])
+        j = leafdict(state.params[grp])
+        t = leafdict(t32[grp]["params"])
+        for ks in j:
+            np.testing.assert_array_equal(j[ks], o[ks],
+                                          err_msg=f"jax {grp}{ks}")
+            np.testing.assert_array_equal(t[ks], o[ks],
+                                          err_msg=f"torch {grp}{ks}")
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder", "teacher_encoder"),
+                         key="batch_stats", ratio=5.0, floor=1e-5, rel=0.02)
+
+
+def _wae2_torch_traj(wae2_base, cfg, inputs, dtype, records=None):
+    """The reference's LITERAL stage-2 WAE schedule
+    (``train_wae_stage2.py:275-328``) for ``len(inputs)`` steps with
+    PERSISTENT hard-coded Adam optimizers at ``dtype``.  The metrics-path
+    teacher forward+decode (``:282-285``) runs per batch as the reference
+    does — it ticks the SHARED decoder's BN, which phase 2 then builds on."""
+    import torch
+    import torch.nn as nn
+
+    model, teacher = copy.deepcopy(wae2_base)
+    model, teacher = model.to(dtype), teacher.to(dtype)
+    model.train()
+    teacher.train()
+    opt_e = torch.optim.Adam(model.encoder.parameters(), lr=0.001,
+                             betas=(0.5, 0.999))
+    opt_disc = torch.optim.Adam(model.discriminator.parameters(), lr=0.0005,
+                                betas=(0.5, 0.999))
+    warm_adam(opt_e)
+    warm_adam(opt_disc)
+    _free(model.decoder, False)
+
+    for fmri, image in inputs:
+        xf = torch.from_numpy(fmri).to(dtype)
+        xi = nchw(image).to(dtype)
+        model.encoder.zero_grad()
+        model.discriminator.zero_grad()
+        z, _ = teacher.encoder(xi)       # :284-285 (metrics path; BN ticks)
+        teacher.decoder(z)
+        # ---- Phase 1 (:289-307) ----
+        _free(model.encoder, False)
+        _free(model.discriminator, True)
+        z_fake, _ = model.encoder(xf)
+        z_real, _ = teacher.encoder(xi)
+        d_real = model.discriminator(z_real)
+        d_fake = model.discriminator(z_fake)
+        loss_fake = -10 * torch.sum(torch.log(d_fake + 1e-3))
+        loss_real = -10 * torch.sum(torch.log(1 - d_real + 1e-3))
+        loss_fake.backward(retain_graph=True)
+        loss_real.backward(retain_graph=True)
+        opt_disc.step()
+        # ---- Phase 2 (:311-328) ----
+        _free(model.encoder, True)
+        _free(model.discriminator, False)
+        z_real, _ = model.encoder(xf)
+        x_recon = model.decoder(z_real)
+        d_real = model.discriminator(z_real)
+        loss_reconstruction = nn.MSELoss()(x_recon, xi)
+        loss_penalty = -10 * torch.mean(torch.log(d_real + 1e-3))
+        loss_reconstruction.backward(retain_graph=True)
+        loss_penalty.backward()
+        opt_e.step()
+        _free(model.discriminator, True)
+        if records is not None:
+            records.append({
+                "loss_reconstruction": float(loss_reconstruction.detach()),
+                "loss_penalty": float(loss_penalty.detach()),
+                "loss_discriminator_fake": float(loss_fake.detach()) / B,
+                "loss_discriminator_real": float(loss_real.detach()) / B})
+    return model, teacher
+
+
+def test_wae2_trajectory(wae2_base, cfg):
+    """12-step stage-2 WAE latent-alignment trajectory: per-step losses
+    track the literal hard-coded-Adam schedule with persistent moments, and
+    the ENDPOINT parameters and running stats land within the
+    fp64-calibrated torch pair.
+
+    Endpoint stats cover the cognitive encoder (double tick, replayed in
+    the fused step) and the shared decoder (metrics-path + phase-2 decode =
+    two ticks per step, threaded 1:1).  The teacher encoder is EXCLUDED by
+    design: the reference forwards it twice per batch (metrics path :284,
+    phase 1 :292) where the fused step computes the identical latents once
+    — teacher running stats tick at half rate, and they are never consumed
+    (the teacher has no eval-mode use in stage 2/3)."""
+    import torch
+
+    from fmri_tpu.checkpoints.torch_import import convert_visual_encoder
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import Adam
+    from fmri_tpu.train.steps_wae import make_wae_cognitive_step
+
+    model, teacher = wae2_base
+    origin = _converted(model, cfg, "wae-gan-cognitive")
+    origin["teacher_encoder"] = convert_visual_encoder(
+        to_dtype_sd(teacher), cfg, prefix="encoder.")
+    opt = Adam(b1=0.5, b2=0.999)
+    state = make_state(origin, {"encoder": opt, "latent_disc": opt})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_wae_cognitive_step(cfg, stage=2, donate=False)
+
+    base = jax.random.key(33)
+    inputs, jax_metrics = [], []
+    for i in range(TRAJ2_STEPS):
+        fmri, image = _fmri(800 + i, cfg), _images(900 + i)
+        inputs.append((fmri, image))
+        state, m = step.train_step(
+            state, {"fmri": jnp.asarray(fmri), "image": jnp.asarray(image)},
+            jax.random.fold_in(base, i))
+        jax_metrics.append(m)
+
+    recs32 = []
+    model32, teacher32 = _wae2_torch_traj(wae2_base, cfg, inputs,
+                                          torch.float32, records=recs32)
+    for i, (m, t) in enumerate(zip(jax_metrics, recs32)):
+        rtol = 3e-3 + 1.5e-3 * max(0, i - 7)
+        for k, val in t.items():
+            np.testing.assert_allclose(float(m[k]), val, rtol=rtol,
+                                       atol=1e-4, err_msg=f"step {i} {k}")
+
+    model64, _teacher64 = _wae2_torch_traj(wae2_base, cfg, inputs,
+                                           torch.float64)
+    t32 = _converted(model32, cfg, "wae-gan-cognitive")
+    t64 = _converted(model64, cfg, "wae-gan-cognitive")
+    lrs = {"encoder": 1e-3, "latent_disc": 5e-4}
+    assert_updates_match(origin, state.params, t32, t64, lrs,
+                         ("encoder", "latent_disc"),
+                         ratio=5.0, floor=5e-4, rel=0.05)
+    o = leafdict(origin["decoder"]["params"])  # frozen on both sides
+    j = leafdict(state.params["decoder"])
+    t = leafdict(t32["decoder"]["params"])
+    for ks in j:
+        np.testing.assert_array_equal(j[ks], o[ks], err_msg=f"jax {ks}")
+        np.testing.assert_array_equal(t[ks], o[ks], err_msg=f"torch {ks}")
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder"), key="batch_stats",
+                         ratio=5.0, floor=1e-5, rel=0.02)
