@@ -125,6 +125,7 @@ class TrainConfig:
     decay_mse: float = 1.0
     beta: float = 1.0               # beta-VAE weight (gan_config.py:41)
     wae_lambda: float = 10.0        # WAE adversarial penalty weight (train_wae_stage1.py:281)
+    wae_vgan_lam: float = 1.0       # WAE/Dual-GAN latent-D weight: --lam default (wae_vgan_stage1.py:87)
     wae_sigma: float = 0.5          # WAE prior scale N(0, 0.5^2) (train_wae_stage1.py:276)
     grad_clip: float | None = None  # elementwise grad clamp; stages II/III use 1.0
     seed: int = 8                   # numpy/torch seed parity (train_vgan_stage1.py:27-29)

@@ -338,7 +338,10 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
     opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=t.grad_clip)
     if lr_schedule is None:
         lr_schedule = lambda step: jnp.float32(t.learning_rate)
-    lam, sigma = t.wae_lambda, t.wae_sigma
+    # NOT t.wae_lambda: this trainer's latent-D weight is the --lam flag,
+    # default 1.0 (wae_vgan_stage1.py:87,390-391,411) — the WAE trainers'
+    # hard-coded 10 does not apply here.
+    lam, sigma = t.wae_vgan_lam, t.wae_sigma
 
     def forward(enc_p, dec_p, disc_p, stats, x, eps, z_p):
         (mu, lv), enc_s = apply_with_stats(enc, enc_p, stats["encoder"], x, train=True)
@@ -527,9 +530,17 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
             gate_float(dis_gate))
 
         # Encoder ran 3x in the reference (main fwd, D phase, penalty phase):
-        # replay two extra BN ticks.
+        # replay two extra BN ticks (same batch -> exact analytic replay).
         new_stats["encoder"] = bn_extra_ticks(
             state.batch_stats["encoder"], new_stats["encoder"], extra=2)
+        # The penalty phase also decodes x_recon = dec(mu) (:406) — unused by
+        # any loss (loss_reconstruction is commented out, :409-412) but a
+        # THIRD decoder BN tick with different inputs (mu, not z/z_p), so it
+        # cannot be replayed analytically; run the stats-only decode.
+        _, dec_s3 = apply_with_stats(
+            dec, p["decoder"], new_stats["decoder"],
+            jax.lax.stop_gradient(mu), train=True)
+        new_stats["decoder"] = dec_s3
 
         metrics = {
             "loss_encoder": h.encoder / b,

@@ -1573,3 +1573,217 @@ def test_wae2_trajectory(wae2_base, cfg):
     assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
                          ("encoder", "decoder"), key="batch_stats",
                          ratio=5.0, floor=1e-5, rel=0.02)
+
+
+# --------------------------------------------------------------------------
+# WAE/Dual-GAN Stage I (wae_vgan_stage1.py) — the 7th trainer family
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def waevgan_base(vgan_base):
+    """VaeGan + the WaeGan whose latent discriminator the trainer borrows
+    (``wae_vgan_stage1.py:199-200``).  The WaeGan ctor re-inits ALL modules
+    with the uniform scheme (``vae_gan.py:452-464``), overriding the
+    WaeDiscriminator's own N(0, .01) — which is why the fused step uses
+    ``init_scheme='uniform'`` for this family."""
+    import torch
+
+    ref_models, _ = import_reference()
+    torch.manual_seed(13)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        wae = ref_models.WaeGan(device="cpu", z_size=LATENT)
+    return copy.deepcopy(vgan_base), wae
+
+
+def _waevgan_oracle(model, wae, x, eps, z_p, z_fake, lr, lam=1.0):
+    """The reference's per-batch WAE/Dual-GAN schedule
+    (``wae_vgan_stage1.py:290-441``), historical semantics, both gates on:
+
+      1. main VAE/GAN forward + head losses (``:290-332``);
+      2. latent-D phase: SECOND encoder forward, z_fake ~ N(0, .5²), both
+         log-losses, wae-D RMSprop step (``:378-397``);
+      3. penalty phase: THIRD encoder forward, x_recon decode (BN tick only —
+         the reconstruction loss is commented out, ``:409-412``), penalty vs
+         the UPDATED wae-D; grads accumulate into the ENCODER's `.grad`
+         (``:401-414``); ``optimizer_decoder.step()`` fires with torch-1.4
+         zero grads — a pure RMSprop moment-decay tick (``:417``);
+      4. encoder step on loss_encoder grads + the accumulated penalty grads
+         (``:421-427``), then decoder (``:430-435``) and image-D
+         (``:437-441``).
+    """
+    import torch
+
+    dt = next(model.parameters()).dtype
+    model.train()
+    wae.train()
+    xt = nchw(x).to(dt)
+    opts = {}
+    for name in ("encoder", "decoder", "discriminator"):
+        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
+                                alpha=0.9, eps=1e-8, weight_decay=0,
+                                momentum=0, centered=False)
+        warm_rmsprop(o)
+        opts[name] = o
+    opt_wdisc = torch.optim.RMSprop(wae.discriminator.parameters(), lr=lr,
+                                    alpha=0.9, eps=1e-8, weight_decay=0,
+                                    momentum=0, centered=False)
+    warm_rmsprop(opt_wdisc)
+
+    # 1. main VAE/GAN forward (vae_gan.py:271-287, noise injected)
+    mus, lv = model.encoder(xt)
+    z = torch.from_numpy(eps).to(dt) * (0.5 * lv).exp() + mus
+    x_tilde = model.decoder(z)
+    x_p = model.decoder(torch.from_numpy(z_p).to(dt))
+    disc_layer = model.discriminator(xt, x_tilde, x_p, "REC")
+    disc_class = model.discriminator(xt, x_tilde, x_p, "GAN")
+    _, kld, mse, bo, bp, bs = type(model).loss(
+        xt, x_tilde, disc_layer[:B], disc_layer[B:2 * B], disc_layer[2 * B:],
+        disc_class[:B], disc_class[B:2 * B], disc_class[2 * B:], mus, lv)
+    loss_encoder = torch.sum(kld) + torch.sum(mse)
+    loss_discriminator = torch.sum(bo) + torch.sum(bp) + torch.sum(bs)
+    loss_decoder = (torch.sum(LAMBDA_MSE * mse)
+                    - (1.0 - LAMBDA_MSE) * loss_discriminator)
+    # Main-graph gradients taken up front (all at original weights — the
+    # historical semantics; modern torch's version counters reject taking
+    # them after any optimizer step touches a graph parameter):
+    enc_ps, enc_gs = group_grads(loss_encoder, model.encoder)
+    dec_ps, dec_gs = group_grads(loss_decoder, model.decoder)
+    dis_ps, dis_gs = group_grads(loss_discriminator, model.discriminator,
+                                 retain_graph=False)
+
+    # 2. latent-D phase (:378-397)
+    z_real, _ = model.encoder(xt)
+    d_real = wae.discriminator(z_real)
+    d_fake = wae.discriminator(torch.from_numpy(z_fake).to(dt))
+    loss_fake = -lam * torch.sum(torch.log(d_fake + 1e-3))
+    loss_real = -lam * torch.sum(torch.log(1 - d_real + 1e-3))
+    ps, gs = group_grads(loss_fake + loss_real, wae.discriminator,
+                         retain_graph=False)
+    apply_grads(opt_wdisc, ps, gs)
+
+    # 3. penalty phase vs the UPDATED wae-D (:401-417)
+    z_real2, _ = model.encoder(xt)
+    model.decoder(z_real2)  # x_recon: BN tick only, loss commented out :409
+    d_real2 = wae.discriminator(z_real2)
+    loss_penalty = -lam * torch.sum(torch.log(d_real2 + 1e-3))
+    # the penalty path uses only the l_mu head — the l_var branch gets no
+    # grad (torch-1.4 backward leaves its accumulated .grad at zero)
+    pen_ps = list(model.encoder.parameters())
+    pen_gs = [g if g is not None else torch.zeros_like(q)
+              for g, q in zip(
+                  torch.autograd.grad(loss_penalty, pen_ps,
+                                      retain_graph=False, allow_unused=True),
+                  pen_ps)]
+    apply_grads(opts["decoder"], dec_ps,  # torch-1.4 zero_grad tensors
+                [torch.zeros_like(q) for q in dec_ps])  # :417
+
+    # 4. head updates in the reference's order, encoder grads accumulated
+    assert [id(a) for a in enc_ps] == [id(a) for a in pen_ps]
+    apply_grads(opts["encoder"], enc_ps,
+                [g + pg for g, pg in zip(enc_gs, pen_gs)])
+    apply_grads(opts["decoder"], dec_ps, dec_gs)
+    apply_grads(opts["discriminator"], dis_ps, dis_gs)
+    return {
+        "loss_encoder": float(loss_encoder.detach()) / B,
+        "loss_decoder": float(loss_decoder.detach()) / B,
+        "loss_discriminator": float(loss_discriminator.detach()) / B,
+        "loss_penalty": float(loss_penalty.detach()) / B,
+        "loss_discriminator_fake": float(loss_fake.detach()) / B,
+        "loss_discriminator_real": float(loss_real.detach()) / B,
+        "bce_means": (float(bo.detach().mean()), float(bp.detach().mean())),
+    }
+
+
+@pytest.fixture(scope="module")
+def waevgan(waevgan_base, cfg):
+    from fmri_tpu.checkpoints.torch_import import convert_latent_discriminator
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import RmsProp
+    from fmri_tpu.train.steps_wae import make_wae_vgan_step
+
+    model, wae = waevgan_base
+    lr = cfg.train.learning_rate
+    origin = _converted(model, cfg, "vae-gan")
+    origin["latent_disc"] = convert_latent_discriminator(
+        to_dtype_sd(wae), cfg, prefix="discriminator.")
+    opt = RmsProp(decay=cfg.train.rms_decay, eps=cfg.train.rms_eps)
+    state = make_state(origin, {k: opt for k in origin})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+
+    x = _images(40)
+    rng = jax.random.key(123)
+    # mirror make_wae_vgan_step's PRNG contract (steps_wae.py:473-478)
+    k_eps, k_zp, k_zf = jax.random.split(rng, 3)
+    eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
+    z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
+    z_fake = np.asarray(
+        cfg.train.wae_sigma
+        * jax.random.normal(k_zf, (B, LATENT), jnp.float32))
+
+    step = make_wae_vgan_step(cfg, mode="vae-gan", donate=False)
+    new_state, metrics = step.train_step(
+        state, jnp.asarray(x), rng, jnp.float32(0.35), jnp.float32(0.68),
+        jnp.float32(LAMBDA_MSE))
+
+    m32, w32 = copy.deepcopy((model, wae))
+    t32 = _waevgan_oracle(m32, w32, x, eps, z_p, z_fake, lr)
+    m64, w64 = copy.deepcopy((model, wae))
+    _waevgan_oracle(m64.double(), w64.double(), x, eps, z_p, z_fake, lr)
+    after32 = _converted(m32, cfg, "vae-gan")
+    after32["latent_disc"] = convert_latent_discriminator(
+        to_dtype_sd(w32), cfg, prefix="discriminator.")
+    after64 = _converted(m64, cfg, "vae-gan")
+    after64["latent_disc"] = convert_latent_discriminator(
+        to_dtype_sd(w64), cfg, prefix="discriminator.")
+    return dict(origin=origin, state=new_state, metrics=metrics,
+                after32=after32, after64=after64, torch32=t32, lr=lr)
+
+
+def test_waevgan_losses_match(waevgan):
+    m, t = waevgan["metrics"], waevgan["torch32"]
+    for k in ("loss_encoder", "loss_decoder", "loss_discriminator",
+              "loss_penalty", "loss_discriminator_fake",
+              "loss_discriminator_real"):
+        np.testing.assert_allclose(float(m[k]), t[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=k)
+    # the oracle hard-codes both gates on; assert the fused step agreed
+    assert float(m["train_dec"]) == 1.0
+    assert float(m["train_dis"]) == 1.0
+
+
+def test_waevgan_updates_match(waevgan):
+    """All four groups: encoder (head loss + accumulated penalty grads vs
+    the UPDATED latent D), decoder (incl. the zero-grad RMSprop moment-decay
+    tick — without it the post-step decoder params are off by ~2.6%, far
+    above the bound), image discriminator, latent discriminator."""
+    assert_updates_match(waevgan["origin"], waevgan["state"].params,
+                         waevgan["after32"], waevgan["after64"],
+                         waevgan["lr"],
+                         ("encoder", "decoder", "discriminator",
+                          "latent_disc"))
+
+
+def test_waevgan_encoder_bn_triple_tick_matches(waevgan):
+    """The reference forwards the encoder three times per batch (main, D
+    phase, penalty phase) — the fused step's analytic double replay must
+    land on the same stats."""
+    j = leafdict(waevgan["state"].batch_stats["encoder"])
+    t = leafdict(waevgan["after32"]["encoder"]["batch_stats"])
+    for ks in j:
+        np.testing.assert_allclose(j[ks], t[ks], rtol=2e-4, atol=2e-4,
+                                   err_msg=ks)
+
+
+def test_waevgan_decoder_bn_third_tick_matches(waevgan):
+    """The penalty phase decodes x_recon = dec(mu) (``:406``) — a third
+    decoder BN tick with DIFFERENT inputs that cannot be replayed
+    analytically; pins the stats-only decode in ``make_wae_vgan_step``."""
+    j = leafdict(waevgan["state"].batch_stats["decoder"])
+    t = leafdict(waevgan["after32"]["decoder"]["batch_stats"])
+    for ks in j:
+        np.testing.assert_allclose(j[ks], t[ks], rtol=2e-4, atol=2e-4,
+                                   err_msg=ks)
