@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "train_vgan_stage2.py:182 — use for masks/ROIs no "
                         "preset names)")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lam", type=float, default=None,
+                   help="WAE/Dual-GAN latent-D weight (the reference's "
+                        "--lam, wae_vgan_stage1.py:87; default 1.0)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--no-teacher", action="store_true",
                    help="vgan stage 2 without distillation "
@@ -285,6 +288,8 @@ def main(argv=None) -> int:
         overrides["batch_size"] = args.batch_size
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
+    if args.lam is not None:
+        overrides["wae_vgan_lam"] = args.lam
     if args.seed is not None:
         overrides["seed"] = args.seed
     if overrides:
