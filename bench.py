@@ -80,8 +80,10 @@ def _time_steps(run_step, sync_metric: str, batch: int,
 def _apply_variant(cfg):
     """FMRI_TPU_BENCH_VARIANT: comma/plus-joined model-config experiment
     toggles — 'alt' (conv_alt backward rewrites), 'pbn' (Pallas BatchNorm
-    backward).  Gradient-equivalent paths; lets the step-level effect of each
-    be measured with no code change."""
+    backward), 'fdb' (fused 2B decoder batch: decode x_tilde and x_p in one
+    pass — NOT gradient-equivalent: decoder BN batch stats span 2B rows, so
+    it is a speed/semantics trade, never a default).  Lets the step-level
+    effect of each be measured with no code change."""
     import dataclasses
 
     var = os.environ.get("FMRI_TPU_BENCH_VARIANT", "")
@@ -90,6 +92,8 @@ def _apply_variant(cfg):
         kw["alt_backward"] = True
     if "pbn" in var:
         kw["pallas_bn"] = True
+    if "fdb" in var:
+        kw["fused_decoder_batch"] = True
     if kw:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, **kw))
