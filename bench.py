@@ -80,10 +80,11 @@ def _time_steps(run_step, sync_metric: str, batch: int,
 def _apply_variant(cfg):
     """FMRI_TPU_BENCH_VARIANT: comma/plus-joined model-config experiment
     toggles — 'alt' (conv_alt backward rewrites), 'pbn' (Pallas BatchNorm
-    backward), 'fdb' (fused 2B decoder batch: decode x_tilde and x_p in one
-    pass — NOT gradient-equivalent: decoder BN batch stats span 2B rows, so
-    it is a speed/semantics trade, never a default).  Lets the step-level
-    effect of each be measured with no code change."""
+    backward), 'fdb' (fused 2B decoder batch: decode x_tilde and x_p in ONE
+    pass with vsplit=2 per-sub-batch BN statistics — gradient-equivalent to
+    the sequential pair, see models/norm.py and tests/test_steps.py::
+    TestFusedDecoderBatch).  Lets the step-level effect of each be measured
+    with no code change."""
     import dataclasses
 
     var = os.environ.get("FMRI_TPU_BENCH_VARIANT", "")

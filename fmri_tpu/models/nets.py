@@ -109,7 +109,7 @@ class DecoderBlock(nn.Module):
     pallas_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, vsplit: int = 1):
         kernel = self.param(
             "kernel", ref_uniform_init,
             (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
@@ -122,7 +122,7 @@ class DecoderBlock(nn.Module):
         )
         y = BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
-            epsilon=BN_EPS, pallas=self.pallas_bn
+            epsilon=BN_EPS, pallas=self.pallas_bn, vsplit=vsplit
         )(y)
         return nn.relu(y)
 
@@ -183,12 +183,16 @@ class Decoder(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, z, *, train: bool):
+    def __call__(self, z, *, train: bool, vsplit: int = 1):
+        # ``vsplit=k``: z is k back-to-back latent batches decoded in ONE
+        # fused pass with sequential-BN semantics (``models/norm.py``) —
+        # used by the fused train steps to batch the x_tilde/x_p decodes.
         c = self.cfg
         size0 = c.encoder_channels[-1]
         x = _dense(c.fc_input * c.fc_input * size0, c, use_bias=False)(z)
         x = BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, vsplit=vsplit
         )(x.astype(jnp.float32))
         x = nn.relu(x)
         x = x.reshape((x.shape[0], c.fc_input, c.fc_input, size0))
@@ -200,7 +204,8 @@ class Decoder(nn.Module):
                              stride=c.stride, padding=c.padding,
                              compute_dtype=c.compute_dtype,
                              pallas_backward=c.pallas_backward,
-                             pallas_bn=c.pallas_bn)(x, train=train)
+                             pallas_bn=c.pallas_bn)(x, train=train,
+                                                    vsplit=vsplit)
         kernel = self.param(
             "out_kernel", ref_uniform_init, (5, 5, x.shape[-1], c.decoder_channels[3]))
         bias = self.param("out_bias", nn.initializers.zeros, (c.decoder_channels[3],))

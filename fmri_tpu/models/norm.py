@@ -23,6 +23,7 @@ Reference BN usage being accelerated: ``models/vae_gan.py:22,55`` —
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -43,6 +44,16 @@ class BatchNorm(nn.BatchNorm):
     test_vgan1_encoder_decoder_bn_stats_match``)."""
 
     pallas: bool = False
+    # Virtual sequential sub-batches along axis 0 (train mode only): with
+    # ``vsplit=k`` the leading dimension is treated as k back-to-back batches
+    # — statistics are computed PER sub-batch, each sub-batch is normalized
+    # with its own stats, and the running averages tick k times in order.
+    # This makes one fused k*B forward mathematically identical to k
+    # sequential B forwards (the reference decodes x_tilde then x_p through
+    # the same decoder, ``vae_gan.py:281-283`` — two BN ticks), so the fused
+    # decoder batch (``ModelConfig.fused_decoder_batch``) is
+    # gradient-equivalent, not a semantics trade.
+    vsplit: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
@@ -71,6 +82,10 @@ class BatchNorm(nn.BatchNorm):
                 "jit/GSPMD sharding (parallel/mesh.py) instead of pmap.")
         c = x.shape[-1]
         n = x.size // c  # reduced elements per channel (global under GSPMD)
+        if self.vsplit > 1:
+            if self.pallas:
+                raise ValueError("BatchNorm: vsplit>1 + pallas is unsupported")
+            return self._vsplit_train(x)
         if not self.pallas:
             # read/write around the parent without re-declaring the variable
             # (compact modules allow each declaration once per call)
@@ -111,3 +126,43 @@ class BatchNorm(nn.BatchNorm):
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mu
             ra_var.value = m * ra_var.value + (1.0 - m) * var * unbias
         return y
+
+    def _vsplit_train(self, x):
+        """Train-mode normalization with per-sub-batch statistics.
+
+        Replicates flax's fast-variance stats math (``mean``,
+        ``max(0, mean(x^2) - mean^2)``) and normalize order per sub-batch,
+        plus the torch unbiased running-var tick of the stock path, so a
+        ``vsplit=k`` call over ``k*B`` rows equals ``k`` sequential calls
+        over ``B`` rows (asserted by ``tests/test_steps.py``)."""
+        k = self.vsplit
+        if (not self.use_scale or not self.use_bias):
+            raise ValueError(
+                "BatchNorm(vsplit>1) supports only use_scale=use_bias=True")
+        if x.shape[0] % k:
+            raise ValueError(
+                f"BatchNorm(vsplit={k}): leading dim {x.shape[0]} not divisible")
+        c = x.shape[-1]
+        xr = x.reshape((k, x.shape[0] // k) + x.shape[1:]).astype(jnp.float32)
+        red = tuple(range(1, xr.ndim - 1))
+        mu = xr.mean(red)                                        # (k, C)
+        var = jnp.maximum(0.0, (xr * xr).mean(red) - mu * mu)    # biased
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        bshape = (k,) + (1,) * (xr.ndim - 2) + (c,)
+        mul = jax.lax.rsqrt(var.reshape(bshape) + self.epsilon) * scale
+        y = (xr - mu.reshape(bshape)) * mul + bias
+        if not self.is_initializing():
+            m = self.momentum
+            n = x.size // (k * c)  # reduced elements per sub-batch
+            unbias = n / (n - 1.0) if n > 1 else 1.0
+            new_mean, new_var = ra_mean.value, ra_var.value
+            for i in range(k):  # sequential EMA ticks, reference order
+                new_mean = m * new_mean + (1.0 - m) * mu[i]
+                new_var = m * new_var + (1.0 - m) * var[i] * unbias
+            ra_mean.value, ra_var.value = new_mean, new_var
+        return y.reshape(x.shape).astype(x.dtype)

@@ -94,12 +94,15 @@ def make_vgan_stage1_step(cfg: Config, mode: str = "vae-gan",
     uses_B = mode in ("vae-gan", "beta-vae")  # feature-matching in enc/dec loss
 
     def decode_pair(dec_p, stats_d, z, z_p):
-        """x_tilde and x_p: two sequential decodes (reference semantics) or
-        one fused 2B decode (cfg.model.fused_decoder_batch)."""
+        """x_tilde and x_p: two sequential decodes (reference order) or one
+        fused 2B decode (cfg.model.fused_decoder_batch) with ``vsplit=2``
+        per-sub-batch BN statistics — mathematically identical to the
+        sequential pair (``models/norm.py``), just one traversal of the
+        decoder stack per direction instead of two."""
         if c.fused_decoder_batch:
             both, dec_s = apply_with_stats(
                 dec, dec_p, stats_d, jnp.concatenate([z, z_p], axis=0),
-                train=True)
+                train=True, vsplit=2)
             b = z.shape[0]
             return both[:b], both[b:], dec_s
         x_tilde, dec_s1 = apply_with_stats(dec, dec_p, stats_d, z, train=True)
@@ -328,16 +331,40 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
         (mu, lv), cog_s = apply_with_stats(cog, cog_p, stats["encoder"],
                                            fmri, train=True)
         z = mu + eps * jnp.exp(0.5 * lv)
-        x_tilde, dec_s = apply_with_stats(dec, dec_p, stats["decoder"], z, train=True)
+        b_ = z.shape[0]
         teach_s = stats.get("teacher_encoder", {})
-        if distill:
-            (mu_t, lv_t), teach_s = apply_with_stats(
-                teacher_enc, teacher_p, stats["teacher_encoder"], image, train=True)
-            z_t = mu_t + eps_t * jnp.exp(0.5 * lv_t)
-            gt_x, dec_s = apply_with_stats(dec, dec_p, dec_s, z_t, train=True)
-        else:
+        if stage == 3 and c.fused_decoder_batch:
+            # one fused 2B decode with sequential-BN semantics (vsplit=2):
+            # identical to the x_tilde-then-x_p pair (see make_vgan_stage1_step)
+            both, dec_s = apply_with_stats(
+                dec, dec_p, stats["decoder"],
+                jnp.concatenate([z, z_p], axis=0), train=True, vsplit=2)
+            x_tilde, x_p = both[:b_], both[b_:]
             gt_x = image
-        x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p, train=True)
+        else:
+            x_tilde, dec_s = apply_with_stats(dec, dec_p, stats["decoder"], z,
+                                              train=True)
+            if distill:
+                (mu_t, lv_t), teach_s = apply_with_stats(
+                    teacher_enc, teacher_p, stats["teacher_encoder"], image,
+                    train=True)
+                z_t = mu_t + eps_t * jnp.exp(0.5 * lv_t)
+                if c.fused_decoder_batch:
+                    # fuse the two grad-free decodes (gt_x from the teacher
+                    # latent, x_p from the prior) into one 2B pass
+                    both, dec_s = apply_with_stats(
+                        dec, dec_p, dec_s, jnp.concatenate([z_t, z_p], axis=0),
+                        train=True, vsplit=2)
+                    gt_x, x_p = both[:b_], both[b_:]
+                else:
+                    gt_x, dec_s = apply_with_stats(dec, dec_p, dec_s, z_t,
+                                                   train=True)
+                    x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p,
+                                                  train=True)
+            else:
+                gt_x = image
+                x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p,
+                                              train=True)
         concat = jnp.concatenate([gt_x, x_tilde, x_p], axis=0)
         (feats, score), disc_s = apply_with_stats(
             disc, disc_p, stats["discriminator"], concat, train=True)
@@ -407,12 +434,24 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
                     teacher_enc, p["teacher_encoder"], stats["teacher_encoder"],
                     image, train=True)
                 z_t = mu_t + eps_t * jnp.exp(0.5 * lv_t)
-                gt_x, dec_s = apply_with_stats(dec, p["decoder"], dec_s, z_t,
-                                               train=True)
+                if c.fused_decoder_batch:
+                    # the gt_x and x_p decodes carry no decoder/encoder grads
+                    # (decoder frozen; teacher frozen; z_p is noise): fuse
+                    # them into one 2B pass with sequential-BN semantics
+                    both, dec_s = apply_with_stats(
+                        dec, p["decoder"], dec_s,
+                        jnp.concatenate([z_t, z_p], axis=0), train=True,
+                        vsplit=2)
+                    gt_x, x_p = both[:b], both[b:]
+                else:
+                    gt_x, dec_s = apply_with_stats(dec, p["decoder"], dec_s,
+                                                   z_t, train=True)
+                    x_p, dec_s = apply_with_stats(dec, p["decoder"], dec_s,
+                                                  z_p, train=True)
             else:
                 gt_x = image
-            x_p, dec_s = apply_with_stats(dec, p["decoder"], dec_s, z_p,
-                                          train=True)
+                x_p, dec_s = apply_with_stats(dec, p["decoder"], dec_s, z_p,
+                                              train=True)
 
             def disc_fn(disc_p, xt):
                 concat = jnp.concatenate([gt_x, xt, x_p], axis=0)
@@ -425,6 +464,12 @@ def make_vgan_cognitive_step(cfg: Config, stage: int, mode: str = "vae-gan",
             gt_x = image  # distillation requires stage == 2 (vae_gan.py:367)
 
             def dec_fn(dec_p):
+                if c.fused_decoder_batch:
+                    both, s = apply_with_stats(
+                        dec, dec_p, stats["decoder"],
+                        jnp.concatenate([z, z_p], axis=0), train=True,
+                        vsplit=2)
+                    return (both[:b], both[b:]), s
                 xt, s1 = apply_with_stats(dec, dec_p, stats["decoder"], z,
                                           train=True)
                 xp, s2 = apply_with_stats(dec, dec_p, s1, z_p, train=True)

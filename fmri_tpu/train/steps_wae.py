@@ -346,8 +346,16 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
     def forward(enc_p, dec_p, disc_p, stats, x, eps, z_p):
         (mu, lv), enc_s = apply_with_stats(enc, enc_p, stats["encoder"], x, train=True)
         z = mu + eps * jnp.exp(0.5 * lv)
-        x_tilde, dec_s = apply_with_stats(dec, dec_p, stats["decoder"], z, train=True)
-        x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p, train=True)
+        if c.fused_decoder_batch:
+            # one fused 2B decode, sequential-BN semantics (models/norm.py)
+            both, dec_s = apply_with_stats(
+                dec, dec_p, stats["decoder"],
+                jnp.concatenate([z, z_p], axis=0), train=True, vsplit=2)
+            x_tilde, x_p = both[: x.shape[0]], both[x.shape[0] :]
+        else:
+            x_tilde, dec_s = apply_with_stats(dec, dec_p, stats["decoder"], z,
+                                              train=True)
+            x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p, train=True)
         concat = jnp.concatenate([x, x_tilde, x_p], axis=0)
         (feats, score), disc_s = apply_with_stats(
             disc, disc_p, stats["discriminator"], concat, train=True)
@@ -405,6 +413,12 @@ def make_wae_vgan_step(cfg: Config, mode: str = "vae-gan", lr_schedule=None,
         (z, mu, lv), enc_vjp, enc_s = jax.vjp(enc_fn, p["encoder"], has_aux=True)
 
         def dec_fn(dec_p, z_in):
+            if c.fused_decoder_batch:
+                both, s = apply_with_stats(
+                    dec, dec_p, stats["decoder"],
+                    jnp.concatenate([z_in, z_p], axis=0), train=True,
+                    vsplit=2)
+                return (both[:b], both[b:]), s
             xt, s1 = apply_with_stats(dec, dec_p, stats["decoder"], z_in,
                                       train=True)
             xp, s2 = apply_with_stats(dec, dec_p, s1, z_p, train=True)

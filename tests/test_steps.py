@@ -564,8 +564,172 @@ class TestSupervisedLoops:
 
 
 class TestFusedDecoderBatch:
-    """cfg.model.fused_decoder_batch: one 2B decode; spliced == naive under
-    the flag, and outputs stay finite/sane."""
+    """cfg.model.fused_decoder_batch: one 2B decode with ``vsplit=2``
+    per-sub-batch BN stats — mathematically identical to the reference's two
+    sequential decodes (outputs, gradients, AND running stats), so the flag
+    is a pure layout change.  spliced == naive under the flag too."""
+
+    def test_vsplit_decode_equals_sequential(self):
+        """Decoder.apply(vsplit=2) on [z; z_p] == two sequential applies:
+        outputs, final BN running stats, and parameter gradients."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.models.nets import Decoder
+        from fmri_tpu.train.common import apply_with_stats
+
+        c = TINY.model
+        dec = Decoder(c)
+        variables = dec.init(jax.random.key(0), jnp.zeros((2, c.latent_dim)),
+                             train=False)
+        params, stats0 = variables["params"], variables["batch_stats"]
+        b = 6
+        z = jax.random.normal(jax.random.key(1), (b, c.latent_dim))
+        z_p = jax.random.normal(jax.random.key(2), (b, c.latent_dim))
+        cot = jax.random.normal(
+            jax.random.key(3), (2 * b, c.image_size, c.image_size, 3))
+
+        def seq(p):
+            xt, s1 = apply_with_stats(dec, p, stats0, z, train=True)
+            xp, s2 = apply_with_stats(dec, p, s1, z_p, train=True)
+            out = jnp.concatenate([xt, xp], axis=0)
+            return jnp.sum(out * cot), (out, s2)
+
+        def fused(p):
+            out, s = apply_with_stats(
+                dec, p, stats0, jnp.concatenate([z, z_p], axis=0),
+                train=True, vsplit=2)
+            return jnp.sum(out * cot), (out, s)
+
+        (l_s, (out_s, stats_s)), g_s = jax.value_and_grad(seq, has_aux=True)(params)
+        (l_f, (out_f, stats_f)), g_f = jax.value_and_grad(fused, has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-5)
+        for (ks, a), (kf, f) in zip(
+                jax.tree_util.tree_leaves_with_path(stats_s),
+                jax.tree_util.tree_leaves_with_path(stats_f)):
+            assert ks == kf
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(ks))
+        for (ks, a), (kf, f) in zip(
+                jax.tree_util.tree_leaves_with_path(g_s),
+                jax.tree_util.tree_leaves_with_path(g_f)):
+            assert ks == kf
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5, err_msg=str(ks))
+
+    def test_fused_step_equals_sequential_step(self):
+        """Full stage-1 train step: the fused flag changes NOTHING but
+        speed — metrics and BN running stats tight, params to RMSprop
+        fp-amplification tolerance (see the naive/spliced bound below)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fmri_tpu.configs import TINY
+        from fmri_tpu.train import (
+            RmsProp, init_vaegan, make_state, make_vgan_stage1_step,
+        )
+
+        groups = init_vaegan(jax.random.key(0), TINY)
+        g = {k: {"params": groups["params"][k],
+                 "batch_stats": groups["batch_stats"][k]}
+             for k in groups["params"]}
+        x = jax.random.uniform(
+            jax.random.key(1),
+            (8, TINY.model.image_size, TINY.model.image_size, 3),
+            minval=-1.0, maxval=1.0)
+        args = (x, jax.random.key(2), jnp.float32(0.35), jnp.float32(0.68),
+                jnp.float32(0.3))
+        out = {}
+        for fused in (False, True):
+            cfg = TINY.replace(model=dataclasses.replace(
+                TINY.model, fused_decoder_batch=fused))
+            step = make_vgan_stage1_step(cfg, "vae-gan", donate=False)
+            state = make_state(g, {k: RmsProp() for k in g})
+            out[fused] = step.train_step(state, *args)
+        for k in out[False][1]:
+            np.testing.assert_allclose(
+                float(np.asarray(out[False][1][k])),
+                float(np.asarray(out[True][1][k])),
+                rtol=1e-5, atol=1e-5, err_msg=k)
+        for (ks, a), (kf, f) in zip(
+                jax.tree_util.tree_leaves_with_path(out[False][0].batch_stats),
+                jax.tree_util.tree_leaves_with_path(out[True][0].batch_stats)):
+            assert ks == kf
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(ks))
+        for a, f in zip(jax.tree_util.tree_leaves(out[False][0].params),
+                        jax.tree_util.tree_leaves(out[True][0].params)):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a), atol=1e-3)
+
+    def test_fused_wae_vgan_step_equals_sequential(self):
+        """WAE/Dual-GAN stage-I step: flag on == flag off (same x_tilde/x_p
+        decode pair as the flagship, plus the latent-D phases untouched)."""
+        import dataclasses
+
+        ks = jax.random.split(jax.random.key(0), 2)
+        vg = init_vaegan(ks[0], CFG)
+        g = {k: {"params": vg["params"][k], "batch_stats": vg["batch_stats"][k]}
+             for k in vg["params"]}
+        g["latent_disc"] = init_latent_disc(ks[1], CFG, init_scheme="uniform")
+        args = (_images(), jax.random.key(1), jnp.float32(0.35),
+                jnp.float32(0.68), jnp.float32(0.3))
+        out = {}
+        for fused in (False, True):
+            cfg = CFG.replace(model=dataclasses.replace(
+                CFG.model, fused_decoder_batch=fused))
+            step = make_wae_vgan_step(cfg, donate=False)
+            state = make_state(g, {k: RmsProp() for k in g})
+            out[fused] = step.train_step(state, *args)
+        for k in out[False][1]:
+            np.testing.assert_allclose(
+                float(np.asarray(out[False][1][k])),
+                float(np.asarray(out[True][1][k])),
+                rtol=1e-5, atol=1e-5, err_msg=k)
+        for (ks_, a), (kf, f) in zip(
+                jax.tree_util.tree_leaves_with_path(out[False][0].batch_stats),
+                jax.tree_util.tree_leaves_with_path(out[True][0].batch_stats)):
+            assert ks_ == kf
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(ks_))
+        for a, f in zip(jax.tree_util.tree_leaves(out[False][0].params),
+                        jax.tree_util.tree_leaves(out[True][0].params)):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a), atol=1e-3)
+
+    @pytest.mark.parametrize("stage", [2, 3])
+    def test_fused_cognitive_step_equals_sequential(self, stage):
+        """Stage-2 (fuse gt_x+x_p, the grad-free decodes) and stage-3 (fuse
+        x_tilde+x_p) cognitive steps: flag on == flag off."""
+        import dataclasses
+
+        batch = _bold_batch()
+        args = (batch, jax.random.key(2), jnp.float32(0.35), jnp.float32(0.68),
+                jnp.float32(0.3))
+        out = {}
+        for fused in (False, True):
+            cfg = CFG.replace(model=dataclasses.replace(
+                CFG.model, fused_decoder_batch=fused))
+            step = make_vgan_cognitive_step(cfg, stage=stage, donate=False)
+            out[fused] = step.train_step(_cognitive_state(stage), *args)
+        for k in out[False][1]:
+            np.testing.assert_allclose(
+                float(np.asarray(out[False][1][k])),
+                float(np.asarray(out[True][1][k])),
+                rtol=1e-5, atol=1e-5, err_msg=k)
+        for (ks, a), (kf, f) in zip(
+                jax.tree_util.tree_leaves_with_path(out[False][0].batch_stats),
+                jax.tree_util.tree_leaves_with_path(out[True][0].batch_stats)):
+            assert ks == kf
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(ks))
+        for a, f in zip(jax.tree_util.tree_leaves(out[False][0].params),
+                        jax.tree_util.tree_leaves(out[True][0].params)):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(a), atol=1e-3)
 
     def test_fused_spliced_equals_fused_naive(self):
         import dataclasses
