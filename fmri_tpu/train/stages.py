@@ -275,9 +275,11 @@ def exp_dcgan_stage1(cfg: Config, *, steps_per_epoch: int, seed: int = 8,
 def exp_dcgan_stage2(cfg: Config, stage1_ckpt: str, *, steps_per_epoch: int,
                      seed: int = 8, epoch: Optional[int] = None,
                      donate: bool = True) -> Built:
-    """Cognitive encoder over a frozen DCGAN generator
+    """Cognitive encoder over a stage-1 DCGAN generator
     (``experiments/exp_dcgan_stage2.py``): decoder + discriminator from the
-    DCGAN checkpoint; only the discriminator updates (see steps_exp)."""
+    DCGAN checkpoint; decoder (no clamp) + discriminator (clamp +-1) update,
+    encoder frozen (see steps_exp — the reference's decoder-freeze loop is
+    commented out at ``exp_dcgan_stage2.py:281-283``)."""
     from fmri_tpu.train.steps_exp import make_dcgan_stage2_step
 
     t = cfg.train
@@ -288,8 +290,9 @@ def exp_dcgan_stage2(cfg: Config, stage1_ckpt: str, *, steps_per_epoch: int,
                          epoch=epoch)
     groups = graft_groups({"encoder": cog}, loaded, {
         "decoder": "decoder", "discriminator": "discriminator"})
-    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
-    state = make_state(groups, {"discriminator": opt})
+    state = make_state(groups, {
+        "decoder": RmsProp(decay=t.rms_decay, eps=t.rms_eps),
+        "discriminator": RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)})
     kwargs = dict(data_kind="pair", uses_gate=True, eval_sample=True,
                   augment=dict(flip=False, max_shift=cfg.data.max_shift))
     return state, steps, kwargs

@@ -75,14 +75,26 @@ def make_supervised_decoder_step(cfg: Config, lr_schedule=None,
 
 def make_cognitive_scratch_step(cfg: Config, mode: str = "vae-gan",
                                 lr_schedule=None, donate: bool = True) -> StepFns:
-    """Cognitive Dual-VAE(/GAN) from scratch on BOLD — no teacher, all three
-    groups trained with the Stage-I loss algebra and equilibrium gate
-    (``exp_vgan.py:158-167,265-290``; ``exp_vae.py`` with mode='vae',
-    ``:199-201,331-334``).  RMSprop + grad clamp +-1."""
+    """Cognitive Dual-VAE(/GAN) from scratch on BOLD — no teacher
+    (``VaeGanCognitive(teacher_net=None, stage=3)``, ``exp_vgan.py:165-167``,
+    ``exp_vae.py:199-201``).
+
+    Mode-faithful schedule details (update-level oracles in
+    ``tests/test_update_parity_exp.py``):
+      * 'vae-gan' (``exp_vgan.py:265-313``): all three groups with grad clamp
+        +-1 (encoder :295, decoder :304, discriminator :312 — all ACTIVE,
+        unlike the main stage-1 trainer's commented clamps) and the standard
+        equilibrium gate.
+      * 'vae' (``exp_vae.py:332-375``): encoder (clamp) + decoder (NO clamp,
+        ``:366`` commented); the gate block is commented out (``:347-352``)
+        so ``train_dec=True, train_dis=False`` are CONSTANTS — the
+        discriminator never updates and the both-off rescue never fires."""
     c = cfg.model
     t = cfg.train
     cog, dec, disc = CognitiveEncoder(c), Decoder(c), ImageDiscriminator(c)
     opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
+    opt_dec = (opt if mode == "vae-gan"
+               else RmsProp(decay=t.rms_decay, eps=t.rms_eps))
     if lr_schedule is None:
         lr_schedule = lambda step: jnp.float32(t.learning_rate)
 
@@ -124,14 +136,17 @@ def make_cognitive_scratch_step(cfg: Config, mode: str = "vae-gan",
         g_dec = vjp_fn((zero, one, zero))[1]
         g_dis = vjp_fn((zero, zero, one))[2]
 
-        dec_gate, dis_gate = equilibrium_gate(
-            terms, equilibrium, margin, init_dis=(mode != "vae"))
+        if mode == "vae":
+            # exp_vae.py:343-352: gate block commented out — constants
+            dec_gate, dis_gate = jnp.asarray(True), jnp.asarray(False)
+        else:
+            dec_gate, dis_gate = equilibrium_gate(terms, equilibrium, margin)
         lr = lr_schedule(state.step)
         new_params = dict(p)
         new_opt = dict(state.opt_state)
         new_params["encoder"], new_opt["encoder"] = opt.update(
             g_enc, state.opt_state["encoder"], p["encoder"], lr, 1.0)
-        new_params["decoder"], new_opt["decoder"] = opt.update(
+        new_params["decoder"], new_opt["decoder"] = opt_dec.update(
             g_dec, state.opt_state["decoder"], p["decoder"], lr,
             gate_float(dec_gate))
         new_params["discriminator"], new_opt["discriminator"] = opt.update(
@@ -202,7 +217,12 @@ def make_dcgan_stage1_step(cfg: Config, lr_schedule=None,
             loss_dis = jnp.sum(bce_orig) + jnp.sum(bce_samp)
             loss_dec = jnp.sum(bce_pred)
             stats = {"decoder": dec_s, "discriminator": disc_s}
-            gates = (jnp.mean(bce_orig), jnp.mean(-jnp.log(1.0 - sp + LOG_EPS)))
+            # gate means are THIS script's bce definitions: mean(-log(so+eps))
+            # and mean(-log(sp+eps)) — the generator bce, NOT the
+            # predicted-as-fake bce the main family gates on
+            # (exp_dcgan_stage1.py:286-287,301-306; caught by the update-level
+            # oracle in tests/test_update_parity_exp.py)
+            gates = (jnp.mean(bce_orig), jnp.mean(bce_pred))
             return (loss_dec, loss_dis), (stats, gates)
 
         (heads, vjp_fn, aux) = jax.vjp(heads_fn, p["decoder"], p["discriminator"],
@@ -210,16 +230,26 @@ def make_dcgan_stage1_step(cfg: Config, lr_schedule=None,
         new_stats, (m_orig, m_pred) = aux
         loss_dec, loss_dis = heads
         one, zero = jnp.float32(1.0), jnp.float32(0.0)
-        g_dec = vjp_fn((one, zero))[0]
         g_dis = vjp_fn((zero, one))[1]
 
-        # equilibrium gate on (bce_orig, bce_pred-as-fake) means
-        # (exp_dcgan_stage1.py:298-309).
+        # equilibrium gate on the script's OWN bce means — mean(-log(so+eps))
+        # and mean(-log(sp+eps)) (exp_dcgan_stage1.py:286-287,298-309).
         dis_low = (m_orig < equilibrium - margin) | (m_pred < equilibrium - margin)
         dec_high = (m_orig > equilibrium + margin) | (m_pred > equilibrium + margin)
         train_dis, train_dec = ~dis_low, ~dec_high
         both_off = jnp.logical_and(~train_dis, ~train_dec)
         train_dis, train_dec = train_dis | both_off, train_dec | both_off
+
+        # Reference grad-accumulation quirk (exp_dcgan_stage1.py:313-327):
+        # after the discriminator backward, only model.discriminator is
+        # zero_grad'ed (:320) — the decoder grads that
+        # loss_discriminator.backward() deposited (via the D(x_tilde)
+        # 'sampled' term) survive, and loss_decoder.backward() ACCUMULATES
+        # onto them, so the decoder step uses
+        # d(loss_dec + loss_dis)/d(dec) whenever the discriminator trained
+        # this batch.  Branchless: fold the gate into the cotangent.
+        # (Caught by the update-level oracle in test_update_parity_exp.py.)
+        g_dec = vjp_fn((one, gate_float(train_dis)))[0]
 
         lr = lr_schedule(state.step)
         new_params = dict(p)
@@ -257,15 +287,21 @@ def make_dcgan_stage1_step(cfg: Config, lr_schedule=None,
 
 def make_dcgan_stage2_step(cfg: Config, lr_schedule=None,
                            donate: bool = True) -> StepFns:
-    """Cognitive graph over a frozen DCGAN generator
-    (``exp_dcgan_stage2.py:166-188``).  Faithful to the effective reference
-    semantics: full vae-gan losses computed, but only the **discriminator**
-    updates (gated) — the decoder is frozen (``:188``) and the encoder
-    backward is commented out (``:336-338``)."""
+    """Cognitive graph over a stage-1 DCGAN generator
+    (``exp_dcgan_stage2.py``): full vae-gan losses; **decoder** (gated, NO
+    grad clamp — the clamp line is commented out at ``:344``) and
+    **discriminator** (gated, clamp +-1, ``:352``) train; the encoder is
+    frozen (``requires_grad=False`` at ``:187-188`` and its backward is
+    commented out at ``:336-338``).  Note the "Fix decoder weights" freeze
+    loop is itself commented out (``:281-283``), so the decoder DOES update
+    via ``optimizer_decoder.step()`` (``:343-345``) — pinned by the
+    update-level oracle in ``tests/test_update_parity_exp.py``, which caught
+    this step previously freezing the decoder."""
     c = cfg.model
     t = cfg.train
     cog, dec, disc = CognitiveEncoder(c), Decoder(c), ImageDiscriminator(c)
-    opt = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)
+    opt_dec = RmsProp(decay=t.rms_decay, eps=t.rms_eps)  # no clamp (:344)
+    opt_dis = RmsProp(decay=t.rms_decay, eps=t.rms_eps, clip=1.0)  # :352
     if lr_schedule is None:
         lr_schedule = lambda step: jnp.float32(t.learning_rate)
 
@@ -278,14 +314,14 @@ def make_dcgan_stage2_step(cfg: Config, lr_schedule=None,
         z_p = jax.random.normal(k_zp, (b, c.latent_dim), jnp.float32)
         p = state.params
 
-        def loss_fn(disc_p):
+        def heads_fn(dec_p, disc_p):
             stats = state.batch_stats
             (mu, lv), cog_s = apply_with_stats(cog, p["encoder"],
                                                stats["encoder"], fmri, train=True)
             z = mu + eps * jnp.exp(0.5 * lv)
-            x_tilde, dec_s = apply_with_stats(dec, p["decoder"],
+            x_tilde, dec_s = apply_with_stats(dec, dec_p,
                                               stats["decoder"], z, train=True)
-            x_p, dec_s = apply_with_stats(dec, p["decoder"], dec_s, z_p, train=True)
+            x_p, dec_s = apply_with_stats(dec, dec_p, dec_s, z_p, train=True)
             concat = jnp.concatenate([image, x_tilde, x_p], axis=0)
             (feats, score), disc_s = apply_with_stats(
                 disc, disc_p, stats["discriminator"], concat, train=True)
@@ -295,15 +331,23 @@ def make_dcgan_stage2_step(cfg: Config, lr_schedule=None,
                              beta=t.beta, batch_size=b)
             stats_new = {"encoder": cog_s, "decoder": dec_s,
                          "discriminator": disc_s}
-            return h.discriminator, (terms, h, stats_new)
+            return (h.decoder, h.discriminator), (terms, h, stats_new)
 
-        (loss_dis, (terms, h, new_stats)), g_dis = jax.value_and_grad(
-            loss_fn, has_aux=True)(p["discriminator"])
+        heads, vjp_fn, aux = jax.vjp(heads_fn, p["decoder"], p["discriminator"],
+                                     has_aux=True)
+        terms, h, new_stats = aux
+        one, zero = jnp.float32(1.0), jnp.float32(0.0)
+        g_dec = vjp_fn((one, zero))[0]
+        g_dis = vjp_fn((zero, one))[1]
+
         dec_gate, dis_gate = equilibrium_gate(terms, equilibrium, margin)
         lr = lr_schedule(state.step)
         new_params = dict(p)
         new_opt = dict(state.opt_state)
-        new_params["discriminator"], new_opt["discriminator"] = opt.update(
+        new_params["decoder"], new_opt["decoder"] = opt_dec.update(
+            g_dec, state.opt_state["decoder"], p["decoder"], lr,
+            gate_float(dec_gate))
+        new_params["discriminator"], new_opt["discriminator"] = opt_dis.update(
             g_dis, state.opt_state["discriminator"], p["discriminator"], lr,
             gate_float(dis_gate))
         metrics = {"loss_encoder": h.encoder / b,

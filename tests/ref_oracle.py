@@ -204,6 +204,52 @@ def assert_updates_match(origin_groups, jax_params, after32, after64, lr,
                 f"leaf max |d64| {float(np.abs(d64).max()):.3e})")
 
 
+class DataRmsProp:
+    """RMSprop with torch-0.4-era write semantics: parameter updates land in
+    the parameters' MEMORY without bumping their autograd version counters,
+    so a later retained-graph backward that traverses them proceeds — and
+    sees the UPDATED weight values, exactly as the reference's 2021 runs
+    did.  Modern ``optimizer.step()`` (and even ``p.data.add_()``, which
+    shares the TensorImpl's counter now) is rejected by the version check
+    (pinned by ``test_literal_reference_schedule_rejected_by_modern_torch``);
+    writing through a SHADOW tensor aliasing the same storage
+    (``set_(untyped_storage(), ...)``) keeps its own counter, reproducing
+    the historical behavior on modern torch.
+
+    This lets an oracle execute a reference schedule LITERALLY — including
+    ``exp_dcgan_stage1.py``'s quirks: the discriminator update lands before
+    ``loss_decoder.backward()`` re-traverses it (stale-graph backward sees
+    the UPDATED weights), and the decoder's grads accumulate across both
+    backwards because only ``model.discriminator.zero_grad()`` runs between
+    them (``:313-327``).
+
+    Second moments are seeded to 1.0 (same contract as ``warm_rmsprop``).
+    Matches ``torch.optim.RMSprop(alpha, eps, weight_decay=0, momentum=0,
+    centered=False)``: ``sq = a*sq + (1-a)*g^2; p -= lr*g/(sqrt(sq)+eps)``.
+    """
+
+    def __init__(self, params, lr, alpha=0.9, eps=1e-8):
+        import torch
+
+        self.params = list(params)
+        self.lr, self.alpha, self.eps = lr, alpha, eps
+        self.sq = [torch.ones_like(p) for p in self.params]
+
+    def step(self) -> None:
+        """Consume ``p.grad`` (already clamped by the caller where the
+        reference clamps) and update the parameter memory in place."""
+        import torch
+
+        with torch.no_grad():
+            for i, p in enumerate(self.params):
+                g = p.grad
+                self.sq[i] = self.alpha * self.sq[i] + (1 - self.alpha) * g * g
+                shadow = torch.empty(0, dtype=p.dtype)
+                shadow.set_(p.untyped_storage(), p.storage_offset(),
+                            p.size(), p.stride())
+                shadow.add_(-self.lr * g / (self.sq[i].sqrt() + self.eps))
+
+
 def nchw(x: np.ndarray):
     import torch
 
