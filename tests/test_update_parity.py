@@ -269,8 +269,70 @@ def test_literal_reference_schedule_rejected_by_modern_torch(vgan_base):
         loss_decoder.backward(retain_graph=True)
 
 
-# --------------------------------------------------------------------------
-# VAE/GAN Stage II (train_vgan_stage2.py: distillation, clamp +-1)
+def test_vgan1_literal_execution_equals_historical(vgan_base, vgan1):
+    """Closes the one inferential step in the historical-semantics argument
+    (design.md §1) EMPIRICALLY: execute the reference's LITERAL stage-1
+    schedule — interleaved ``backward(retain_graph=True)`` / optimizer
+    steps, ``train_vgan_stage1.py:406-432`` — on modern torch via
+    ``DataRmsProp``'s shadow-tensor writes (torch-0.4 ``.data`` semantics:
+    parameter memory updates without version-counter bumps), and assert the
+    post-step parameters equal the historical grads-at-original-weights
+    oracle's to fp32 ULP level.  For this trainer the two are the same
+    update rule because the sequencing is benign: the encoder (updated
+    first) sits upstream of the decoder/discriminator backwards, the
+    decoder update cannot perturb the disc backward (saved activations
+    carry the values), and ``model.zero_grad()`` / ``.discriminator.
+    zero_grad()`` keep every head's grads clean (:408,418,426)."""
+    from ref_oracle import DataRmsProp
+
+    import torch
+
+    model = copy.deepcopy(vgan_base)
+    lr = vgan1["lr"]
+    x = _images(0)
+    rng = jax.random.key(42)
+    k_eps, k_zp = jax.random.split(rng)
+    eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
+    z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
+
+    dt = next(model.parameters()).dtype
+    model.train()
+    xt = nchw(x).to(dt)
+    opts = {n: DataRmsProp(getattr(model, n).parameters(), lr)
+            for n in ("encoder", "decoder", "discriminator")}
+    mus, lv = model.encoder(xt)
+    z = torch.from_numpy(eps).to(dt) * (0.5 * lv).exp() + mus
+    x_tilde = model.decoder(z)
+    x_p = model.decoder(torch.from_numpy(z_p).to(dt))
+    disc_layer = model.discriminator(xt, x_tilde, x_p, "REC")
+    disc_class = model.discriminator(xt, x_tilde, x_p, "GAN")
+    nle, kld, mse, bo, bp, bs = type(model).loss(
+        xt, x_tilde, disc_layer[:B], disc_layer[B:2 * B], disc_layer[2 * B:],
+        disc_class[:B], disc_class[B:2 * B], disc_class[2 * B:], mus, lv)
+    loss_encoder = torch.sum(kld) + torch.sum(mse)
+    loss_discriminator = torch.sum(bo) + torch.sum(bp) + torch.sum(bs)
+    loss_decoder = (torch.sum(LAMBDA_MSE * mse)
+                    - (1.0 - LAMBDA_MSE) * loss_discriminator)
+    model.zero_grad()                                  # :408
+    loss_encoder.backward(retain_graph=True)           # :412
+    opts["encoder"].step()                             # :416
+    model.zero_grad()                                  # :418
+    loss_decoder.backward(retain_graph=True)           # :422
+    opts["decoder"].step()                             # :424
+    model.discriminator.zero_grad()                    # :426
+    loss_discriminator.backward()                      # :430
+    opts["discriminator"].step()                       # :432
+
+    from fmri_tpu.configs import get_config
+
+    lit = _converted(model, get_config("res100"), "vae-gan")
+    for grp in ("encoder", "decoder", "discriminator"):
+        h = leafdict(vgan1["after32"][grp]["params"])
+        l_ = leafdict(lit[grp]["params"])
+        for ks in h:
+            np.testing.assert_allclose(
+                l_[ks], h[ks], rtol=0, atol=1e-6,
+                err_msg=f"{grp}{ks}: literal != historical")
 # --------------------------------------------------------------------------
 
 
