@@ -1849,3 +1849,494 @@ def test_waevgan_decoder_bn_third_tick_matches(waevgan):
     for ks in j:
         np.testing.assert_allclose(j[ks], t[ks], rtol=2e-4, atol=2e-4,
                                    err_msg=ks)
+
+
+# --------------------------------------------------------------------------
+# Trajectories: stage-3 fine-tunes (vgan + wae) and WAE/Dual-GAN stage 1 —
+# with these, every staged trainer family has a multi-step trajectory oracle
+# --------------------------------------------------------------------------
+
+
+def _vgan3_torch_traj(vgan3_base, cfg, inputs, dtype, margin, equilibrium,
+                      records=None, gate_schedule=None):
+    """The reference's stage-3 per-batch schedule
+    (``train_vgan_stage3.py:320-410``) for ``len(inputs)`` steps with
+    PERSISTENT clamp-+-1 RMSprop optimizers at ``dtype``; cognitive encoder
+    and teacher frozen throughout (``:244-245,329-331``); the REAL
+    equilibrium gate (``:382-389``), replayable via ``gate_schedule`` for
+    the fp64 calibration run (see ``_vgan1_torch_traj``)."""
+    import torch
+
+    lr = cfg.train.learning_rate
+    model = copy.deepcopy(vgan3_base).to(dtype)
+    model.train()
+    opts = {}
+    for name in ("decoder", "discriminator"):
+        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
+                                alpha=0.9, eps=1e-8, weight_decay=0,
+                                momentum=0, centered=False)
+        warm_rmsprop(o)
+        opts[name] = o
+    for p in model.encoder.parameters():  # :329-331
+        p.requires_grad = False
+
+    for i, (fmri, image, eps, z_p) in enumerate(inputs):
+        xf = torch.from_numpy(fmri).to(dtype)
+        gt = nchw(image).to(dtype)
+        mus, lv = model.encoder(xf)
+        z = torch.from_numpy(eps).to(dtype) * (0.5 * lv).exp() + mus
+        x_tilde = model.decoder(z)
+        x_p = model.decoder(torch.from_numpy(z_p).to(dtype))
+        disc_layer = model.discriminator(gt, x_tilde, x_p, "REC")
+        disc_class = model.discriminator(gt, x_tilde, x_p, "GAN")
+        _nle, kld, mse, bo, bp, bs = type(model).loss(
+            gt, x_tilde, disc_layer[:B], disc_layer[B:2 * B],
+            disc_layer[2 * B:], disc_class[:B], disc_class[B:2 * B],
+            disc_class[2 * B:], mus, lv)
+        loss_encoder = torch.sum(kld) + torch.sum(mse)  # logged only (:365)
+        loss_discriminator = (torch.sum(bo) + torch.sum(bp) + torch.sum(bs))
+        loss_decoder = (torch.sum(LAMBDA_MSE * mse)
+                        - (1.0 - LAMBDA_MSE) * loss_discriminator)
+        if gate_schedule is not None:
+            train_dec, train_dis = gate_schedule[i]
+        else:
+            train_dec = train_dis = True  # args.mode='vae-gan' default
+            mbo, mbp = float(bo.detach().mean()), float(bp.detach().mean())
+            if mbo < equilibrium - margin or mbp < equilibrium - margin:
+                train_dis = False
+            if mbo > equilibrium + margin or mbp > equilibrium + margin:
+                train_dec = False
+            if not train_dec and not train_dis:
+                train_dec = train_dis = True
+        if records is not None:
+            records.append({"loss_encoder": float(loss_encoder.detach()),
+                            "loss_discriminator":
+                                float(loss_discriminator.detach()),
+                            "bce_means": (float(bo.detach().mean()),
+                                          float(bp.detach().mean())),
+                            "gates": (train_dec, train_dis)})
+        if train_dec:  # :400-405
+            ps, gs = group_grads(loss_decoder, model.decoder)
+            apply_grads(opts["decoder"], ps, gs, clamp=1.0)
+        if train_dis:  # :407-411
+            ps, gs = group_grads(loss_discriminator, model.discriminator,
+                                 retain_graph=False)
+            apply_grads(opts["discriminator"], ps, gs, clamp=1.0)
+    return model
+
+
+def test_vgan3_trajectory(vgan3_base, cfg):
+    """12-step stage-3 decoder-fine-tune trajectory (real 0.35/0.68 gate,
+    clamp +-1, persistent RMSprop moments): per-step losses and gate
+    decisions track the literal schedule, and the ENDPOINT parameters and
+    running stats land within the fp64-calibrated torch pair (gate schedule
+    replayed at fp64; rel as in ``test_vgan2_trajectory`` — every
+    discriminator input except gt is computed through the decoder stack).
+    Encoder and teacher must stay bit-frozen through all 12 steps."""
+    import torch
+
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import RmsProp
+    from fmri_tpu.train.steps_vgan import make_vgan_cognitive_step
+
+    lr = cfg.train.learning_rate
+    margin, equilibrium = 0.35, 0.68
+    origin = _converted(vgan3_base, cfg, "vae-gan-cognitive")
+    opt = RmsProp(decay=cfg.train.rms_decay, eps=cfg.train.rms_eps, clip=1.0)
+    state = make_state(origin, {"decoder": opt, "discriminator": opt})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_vgan_cognitive_step(cfg, stage=3, mode="vae-gan",
+                                    donate=False)
+
+    base = jax.random.key(77)
+    inputs, jax_metrics = [], []
+    for i in range(TRAJ2_STEPS):
+        fmri, image = _fmri(1000 + i, cfg), _images(1100 + i)
+        rng = jax.random.fold_in(base, i)
+        # PRNG contract (steps_vgan.py): eps_t drawn but unused at stage 3
+        k_eps, _k_t, k_zp = jax.random.split(rng, 3)
+        eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
+        z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
+        inputs.append((fmri, image, eps, z_p))
+        state, m = step.train_step(
+            state, {"fmri": jnp.asarray(fmri), "image": jnp.asarray(image)},
+            rng, jnp.float32(margin), jnp.float32(equilibrium),
+            jnp.float32(LAMBDA_MSE))
+        jax_metrics.append(m)
+
+    recs32 = []
+    model32 = _vgan3_torch_traj(vgan3_base, cfg, inputs, torch.float32,
+                                margin, equilibrium, records=recs32)
+    n_gates_checked = 0
+    for i, (m, t) in enumerate(zip(jax_metrics, recs32)):
+        # drift widens earlier than stage 1's envelope (step 4 vs 8): the
+        # stage-3 discriminator sees ONLY computed images (gt is raw but
+        # x_tilde/x_p route through the decoder), so fp32 forward-noise
+        # amplification compounds faster (measured 0.44% at step 7)
+        rtol = 3e-3 + 2e-3 * max(0, i - 3)
+        for k in ("loss_encoder", "loss_discriminator"):
+            np.testing.assert_allclose(float(m[k]), float(t[k]) / B,
+                                       rtol=rtol, atol=1e-4,
+                                       err_msg=f"step {i} {k}")
+        mbo, mbp = t["bce_means"]
+        edge = min(abs(mbo - (equilibrium - margin)),
+                   abs(mbp - (equilibrium - margin)),
+                   abs(mbo - (equilibrium + margin)),
+                   abs(mbp - (equilibrium + margin)))
+        if edge > 1e-3:
+            train_dec, train_dis = t["gates"]
+            assert float(m["train_dec"]) == float(train_dec), f"step {i}"
+            assert float(m["train_dis"]) == float(train_dis), f"step {i}"
+            n_gates_checked += 1
+    assert n_gates_checked >= TRAJ2_STEPS - 3
+
+    model64 = _vgan3_torch_traj(vgan3_base, cfg, inputs, torch.float64,
+                                margin, equilibrium,
+                                gate_schedule=[t["gates"] for t in recs32])
+    t32 = _converted(model32, cfg, "vae-gan-cognitive")
+    t64 = _converted(model64, cfg, "vae-gan-cognitive")
+    assert_updates_match(origin, state.params, t32, t64, lr,
+                         ("decoder", "discriminator"),
+                         ratio=5.0, floor=5e-4, rel=0.12)
+    for grp in ("encoder", "teacher_encoder"):  # frozen on both sides
+        o = leafdict(origin[grp]["params"])
+        j = leafdict(state.params[grp])
+        t = leafdict(t32[grp]["params"])
+        for ks in j:
+            np.testing.assert_array_equal(j[ks], o[ks],
+                                          err_msg=f"jax {grp}{ks}")
+            np.testing.assert_array_equal(t[ks], o[ks],
+                                          err_msg=f"torch {grp}{ks}")
+    # cog encoder ticks once, decoder twice per step; disc excluded (the
+    # REC+GAN double-tick delta, pinned single-step by
+    # test_vgan1_disc_bn_ema_single_vs_double_tick)
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder"), key="batch_stats",
+                         ratio=5.0, floor=1e-5, rel=0.02)
+
+
+def _wae3_torch_traj(wae3_base, cfg, inputs, dtype, records=None):
+    """The reference's LITERAL stage-3 WAE schedule
+    (``train_wae_stage3.py:296-347``) for ``len(inputs)`` steps with
+    PERSISTENT hard-coded Adam optimizers at ``dtype``; cognitive encoder
+    frozen, decoder trained on plain mean-MSE (penalty backward commented
+    out, ``:344``)."""
+    import torch
+    import torch.nn as nn
+
+    model, teacher = copy.deepcopy(wae3_base)
+    model, teacher = model.to(dtype), teacher.to(dtype)
+    model.train()
+    teacher.train()  # never toggled by the trainer; ctor default
+    opt_d = torch.optim.Adam(model.decoder.parameters(), lr=0.001,
+                             betas=(0.5, 0.999))
+    opt_disc = torch.optim.Adam(model.discriminator.parameters(), lr=0.0005,
+                                betas=(0.5, 0.999))
+    warm_adam(opt_d)
+    warm_adam(opt_disc)
+    _free(model.encoder, False)  # :298
+
+    for fmri, image in inputs:
+        xf = torch.from_numpy(fmri).to(dtype)
+        xi = nchw(image).to(dtype)
+        model.decoder.zero_grad()
+        model.discriminator.zero_grad()
+        # ---- Phase 1 (:306-326) ----
+        _free(model.decoder, False)
+        _free(model.discriminator, True)
+        z_fake, _ = model.encoder(xf)
+        z_real, _ = teacher.encoder(xi)
+        d_real = model.discriminator(z_real)
+        d_fake = model.discriminator(z_fake)
+        loss_fake = -10 * torch.sum(torch.log(d_fake + 1e-3))
+        loss_real = -10 * torch.sum(torch.log(1 - d_real + 1e-3))
+        loss_fake.backward(retain_graph=True)
+        loss_real.backward(retain_graph=True)
+        opt_disc.step()
+        # ---- Phase 2 (:328-347) ----
+        _free(model.decoder, True)
+        _free(model.discriminator, False)
+        z_real, _ = model.encoder(xf)
+        x_recon = model.decoder(z_real)
+        d_real = model.discriminator(z_real)
+        loss_reconstruction = nn.MSELoss()(x_recon, xi)
+        loss_penalty = -10 * torch.mean(torch.log(d_real + 1e-3))
+        loss_reconstruction.backward(retain_graph=True)
+        opt_d.step()
+        _free(model.discriminator, True)
+        if records is not None:
+            records.append({
+                "loss_reconstruction": float(loss_reconstruction.detach()),
+                "loss_penalty": float(loss_penalty.detach()),
+                "loss_discriminator_fake": float(loss_fake.detach()) / B,
+                "loss_discriminator_real": float(loss_real.detach()) / B})
+    return model, teacher
+
+
+def test_wae3_trajectory(wae3_base, cfg):
+    """12-step stage-3 WAE decoder-fine-tune trajectory: per-step losses
+    track the literal hard-coded-Adam schedule with persistent moments, and
+    the ENDPOINT parameters and running stats land within the
+    fp64-calibrated torch pair.
+
+    Endpoint stats cover the cognitive encoder (double tick per step,
+    replayed in the fused step) and the decoder (single phase-2 tick —
+    the stage-3 BN-base finding pinned single-step by
+    ``test_wae3_decoder_bn_single_tick_matches``).  The teacher encoder is
+    excluded for the same reason as stage 2: its stats are never consumed."""
+    import torch
+
+    from fmri_tpu.checkpoints.torch_import import convert_visual_encoder
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import Adam
+    from fmri_tpu.train.steps_wae import make_wae_cognitive_step
+
+    model, teacher = wae3_base
+    origin = _converted(model, cfg, "wae-gan-cognitive")
+    origin["teacher_encoder"] = convert_visual_encoder(
+        to_dtype_sd(teacher), cfg, prefix="encoder.")
+    opt = Adam(b1=0.5, b2=0.999)
+    state = make_state(origin, {"decoder": opt, "latent_disc": opt})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_wae_cognitive_step(cfg, stage=3, donate=False)
+
+    base = jax.random.key(44)
+    inputs, jax_metrics = [], []
+    for i in range(TRAJ2_STEPS):
+        fmri, image = _fmri(1200 + i, cfg), _images(1300 + i)
+        inputs.append((fmri, image))
+        state, m = step.train_step(
+            state, {"fmri": jnp.asarray(fmri), "image": jnp.asarray(image)},
+            jax.random.fold_in(base, i))
+        jax_metrics.append(m)
+
+    recs32 = []
+    model32, _teacher32 = _wae3_torch_traj(wae3_base, cfg, inputs,
+                                           torch.float32, records=recs32)
+    for i, (m, t) in enumerate(zip(jax_metrics, recs32)):
+        rtol = 3e-3 + 1.5e-3 * max(0, i - 7)
+        for k, val in t.items():
+            np.testing.assert_allclose(float(m[k]), val, rtol=rtol,
+                                       atol=1e-4, err_msg=f"step {i} {k}")
+
+    model64, _teacher64 = _wae3_torch_traj(wae3_base, cfg, inputs,
+                                           torch.float64)
+    t32 = _converted(model32, cfg, "wae-gan-cognitive")
+    t64 = _converted(model64, cfg, "wae-gan-cognitive")
+    lrs = {"decoder": 1e-3, "latent_disc": 5e-4}
+    assert_updates_match(origin, state.params, t32, t64, lrs,
+                         ("decoder", "latent_disc"),
+                         ratio=5.0, floor=5e-4, rel=0.05)
+    o = leafdict(origin["encoder"]["params"])  # frozen on both sides
+    j = leafdict(state.params["encoder"])
+    t = leafdict(t32["encoder"]["params"])
+    for ks in j:
+        np.testing.assert_array_equal(j[ks], o[ks], err_msg=f"jax {ks}")
+        np.testing.assert_array_equal(t[ks], o[ks], err_msg=f"torch {ks}")
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder"), key="batch_stats",
+                         ratio=5.0, floor=1e-5, rel=0.02)
+
+
+def _waevgan_torch_traj(waevgan_base, cfg, inputs, dtype, margin,
+                        equilibrium, records=None, gate_schedule=None):
+    """The reference's WAE/Dual-GAN per-batch schedule
+    (``wae_vgan_stage1.py:290-441``, historical semantics — see
+    ``_waevgan_oracle``) for ``len(inputs)`` steps with PERSISTENT RMSprop
+    optimizers at ``dtype`` and the REAL equilibrium gate (``:356-364``).
+    Gate consequences per the reference's update block: the penalty-phase
+    decoder moment-decay tick (``:417``) and the wae-D/encoder updates run
+    unconditionally; only the main decoder (``:429-435``) and image-D
+    (``:437-441``) updates are gated."""
+    import torch
+
+    lr = cfg.train.learning_rate
+    model, wae = copy.deepcopy(waevgan_base)
+    model, wae = model.to(dtype), wae.to(dtype)
+    model.train()
+    wae.train()
+    opts = {}
+    for name in ("encoder", "decoder", "discriminator"):
+        o = torch.optim.RMSprop(getattr(model, name).parameters(), lr=lr,
+                                alpha=0.9, eps=1e-8, weight_decay=0,
+                                momentum=0, centered=False)
+        warm_rmsprop(o)
+        opts[name] = o
+    opt_wdisc = torch.optim.RMSprop(wae.discriminator.parameters(), lr=lr,
+                                    alpha=0.9, eps=1e-8, weight_decay=0,
+                                    momentum=0, centered=False)
+    warm_rmsprop(opt_wdisc)
+
+    for i, (x, eps, z_p, z_fake) in enumerate(inputs):
+        xt = nchw(x).to(dtype)
+        # 1. main VAE/GAN forward + head grads at original weights
+        mus, lv = model.encoder(xt)
+        z = torch.from_numpy(eps).to(dtype) * (0.5 * lv).exp() + mus
+        x_tilde = model.decoder(z)
+        x_p = model.decoder(torch.from_numpy(z_p).to(dtype))
+        disc_layer = model.discriminator(xt, x_tilde, x_p, "REC")
+        disc_class = model.discriminator(xt, x_tilde, x_p, "GAN")
+        _, kld, mse, bo, bp, bs = type(model).loss(
+            xt, x_tilde, disc_layer[:B], disc_layer[B:2 * B],
+            disc_layer[2 * B:], disc_class[:B], disc_class[B:2 * B],
+            disc_class[2 * B:], mus, lv)
+        loss_encoder = torch.sum(kld) + torch.sum(mse)
+        loss_discriminator = (torch.sum(bo) + torch.sum(bp) + torch.sum(bs))
+        loss_decoder = (torch.sum(LAMBDA_MSE * mse)
+                        - (1.0 - LAMBDA_MSE) * loss_discriminator)
+        enc_ps, enc_gs = group_grads(loss_encoder, model.encoder)
+        dec_ps, dec_gs = group_grads(loss_decoder, model.decoder)
+        dis_ps, dis_gs = group_grads(loss_discriminator, model.discriminator,
+                                     retain_graph=False)
+        if gate_schedule is not None:
+            train_dec, train_dis = gate_schedule[i]
+        else:
+            train_dec = train_dis = True  # mode 'vae-gan' (:351-355)
+            mbo, mbp = float(bo.detach().mean()), float(bp.detach().mean())
+            if mbo < equilibrium - margin or mbp < equilibrium - margin:
+                train_dis = False
+            if mbo > equilibrium + margin or mbp > equilibrium + margin:
+                train_dec = False
+            if not train_dec and not train_dis:
+                train_dec = train_dis = True
+
+        # 2. latent-D phase (:378-397): second encoder forward
+        z_real, _ = model.encoder(xt)
+        d_real = wae.discriminator(z_real)
+        d_fake = wae.discriminator(torch.from_numpy(z_fake).to(dtype))
+        loss_fake = -torch.sum(torch.log(d_fake + 1e-3))
+        loss_real = -torch.sum(torch.log(1 - d_real + 1e-3))
+        ps, gs = group_grads(loss_fake + loss_real, wae.discriminator,
+                             retain_graph=False)
+        apply_grads(opt_wdisc, ps, gs)
+
+        # 3. penalty phase vs the UPDATED wae-D (:401-417): third encoder
+        # forward, x_recon decode (BN tick only), decoder moment-decay tick
+        z_real2, _ = model.encoder(xt)
+        model.decoder(z_real2)
+        d_real2 = wae.discriminator(z_real2)
+        loss_penalty = -torch.sum(torch.log(d_real2 + 1e-3))
+        pen_ps = list(model.encoder.parameters())
+        pen_gs = [g if g is not None else torch.zeros_like(q)
+                  for g, q in zip(
+                      torch.autograd.grad(loss_penalty, pen_ps,
+                                          retain_graph=False,
+                                          allow_unused=True), pen_ps)]
+        apply_grads(opts["decoder"], dec_ps,
+                    [torch.zeros_like(q) for q in dec_ps])  # :417
+
+        # 4. head updates (:419-441), encoder grads accumulated
+        apply_grads(opts["encoder"], enc_ps,
+                    [g + pg for g, pg in zip(enc_gs, pen_gs)])
+        if train_dec:
+            apply_grads(opts["decoder"], dec_ps, dec_gs)
+        if train_dis:
+            apply_grads(opts["discriminator"], dis_ps, dis_gs)
+        if records is not None:
+            records.append({
+                "losses": {
+                    "loss_encoder": float(loss_encoder.detach()) / B,
+                    "loss_discriminator":
+                        float(loss_discriminator.detach()) / B,
+                    "loss_penalty": float(loss_penalty.detach()) / B,
+                    "loss_discriminator_fake": float(loss_fake.detach()) / B,
+                    "loss_discriminator_real": float(loss_real.detach()) / B,
+                },
+                "bce_means": (float(bo.detach().mean()),
+                              float(bp.detach().mean())),
+                "gates": (train_dec, train_dis)})
+    return model, wae
+
+
+def test_waevgan_trajectory(waevgan_base, cfg):
+    """12-step WAE/Dual-GAN trajectory (real 0.35/0.68 gate, lam=1.0,
+    persistent moments on all FOUR optimizers): per-step losses across both
+    adversarial games track the literal schedule, gate decisions match away
+    from the knife edge, and the ENDPOINT parameters and running stats land
+    within the fp64-calibrated torch pair (gate schedule replayed at fp64).
+
+    This exercises the family's quirks compounding over steps: the
+    unconditional decoder moment-decay tick interleaved between gated
+    updates, the penalty-into-encoder grad accumulation against the
+    UPDATED latent D, and the encoder-triple/decoder-third BN ticks."""
+    import torch
+
+    from fmri_tpu.checkpoints.torch_import import convert_latent_discriminator
+    from fmri_tpu.train import make_state
+    from fmri_tpu.train.optim import RmsProp
+    from fmri_tpu.train.steps_wae import make_wae_vgan_step
+
+    model, wae = waevgan_base
+    lr = cfg.train.learning_rate
+    margin, equilibrium = 0.35, 0.68
+    origin = _converted(model, cfg, "vae-gan")
+    origin["latent_disc"] = convert_latent_discriminator(
+        to_dtype_sd(wae), cfg, prefix="discriminator.")
+    opt = RmsProp(decay=cfg.train.rms_decay, eps=cfg.train.rms_eps)
+    state = make_state(origin, {k: opt for k in origin})
+    state = state.replace(opt_state=warm_jax_opt_state(state.opt_state))
+    step = make_wae_vgan_step(cfg, mode="vae-gan", donate=False)
+
+    base = jax.random.key(66)
+    inputs, jax_metrics = [], []
+    for i in range(TRAJ2_STEPS):
+        x = _images(1400 + i)
+        rng = jax.random.fold_in(base, i)
+        # mirror make_wae_vgan_step's PRNG contract (steps_wae.py:473-478)
+        k_eps, k_zp, k_zf = jax.random.split(rng, 3)
+        eps = np.asarray(jax.random.normal(k_eps, (B, LATENT), jnp.float32))
+        z_p = np.asarray(jax.random.normal(k_zp, (B, LATENT), jnp.float32))
+        z_fake = np.asarray(
+            cfg.train.wae_sigma
+            * jax.random.normal(k_zf, (B, LATENT), jnp.float32))
+        inputs.append((x, eps, z_p, z_fake))
+        state, m = step.train_step(
+            state, jnp.asarray(x), rng, jnp.float32(margin),
+            jnp.float32(equilibrium), jnp.float32(LAMBDA_MSE))
+        jax_metrics.append(m)
+
+    recs32 = []
+    model32, wae32 = _waevgan_torch_traj(waevgan_base, cfg, inputs,
+                                         torch.float32, margin, equilibrium,
+                                         records=recs32)
+    n_gates_checked = 0
+    for i, (m, t) in enumerate(zip(jax_metrics, recs32)):
+        # earlier widening than stage 1 (step 4 vs 8): three encoder
+        # forwards + two adversarial games per step compound fp32 drift
+        # faster (measured 0.59% on the disc bce at step 5)
+        rtol = 3e-3 + 2e-3 * max(0, i - 3)
+        for k, val in t["losses"].items():
+            np.testing.assert_allclose(float(m[k]), val, rtol=rtol,
+                                       atol=1e-4, err_msg=f"step {i} {k}")
+        mbo, mbp = t["bce_means"]
+        edge = min(abs(mbo - (equilibrium - margin)),
+                   abs(mbp - (equilibrium - margin)),
+                   abs(mbo - (equilibrium + margin)),
+                   abs(mbp - (equilibrium + margin)))
+        if edge > 1e-3:
+            train_dec, train_dis = t["gates"]
+            assert float(m["train_dec"]) == float(train_dec), f"step {i}"
+            assert float(m["train_dis"]) == float(train_dis), f"step {i}"
+            n_gates_checked += 1
+    assert n_gates_checked >= TRAJ2_STEPS - 3
+
+    model64, wae64 = _waevgan_torch_traj(waevgan_base, cfg, inputs,
+                                         torch.float64, margin, equilibrium,
+                                         gate_schedule=[t["gates"]
+                                                        for t in recs32])
+    t32 = _converted(model32, cfg, "vae-gan")
+    t32["latent_disc"] = convert_latent_discriminator(
+        to_dtype_sd(wae32), cfg, prefix="discriminator.")
+    t64 = _converted(model64, cfg, "vae-gan")
+    t64["latent_disc"] = convert_latent_discriminator(
+        to_dtype_sd(wae64), cfg, prefix="discriminator.")
+    assert_updates_match(origin, state.params, t32, t64, lr,
+                         ("encoder", "decoder", "discriminator",
+                          "latent_disc"),
+                         ratio=5.0, floor=5e-4, rel=0.08)
+    # encoder triple tick + decoder third (stats-only) tick, both replayed
+    # in the fused step; image-D excluded (REC+GAN double-tick delta,
+    # pinned single-step)
+    assert_updates_match(origin, state.batch_stats, t32, t64, 1.0,
+                         ("encoder", "decoder"), key="batch_stats",
+                         ratio=5.0, floor=1e-5, rel=0.02)
