@@ -459,6 +459,68 @@ def test_vgan_stage2_decoder_tp_composes_with_voxel_tp():
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_checkpoint_resume_under_mesh_is_exact(tmp_path):
+    """Sharded training is checkpoint-transparent (SURVEY §5.4 x §2.8):
+    save a dp x model-TP TrainState mid-run, restore it into a fresh host
+    template, re-shard, continue — and the continued run matches an
+    uninterrupted sharded run bit-for-bit.
+
+    Uses the stage-3 layout so the checkpoint covers MODEL-SHARDED optimizer
+    moments (the Decoder projection's RMSprop sq_avg shards with its kernel):
+    the store's ``jax.device_get`` must gather the [latent->model] shards to
+    full host arrays and :func:`shard_state` must re-place them.  The
+    reference's resume path rebuilds from a ``.pth`` on one GPU
+    (``train_vgan_stage1.py:239-247``) — it has no sharded-state story."""
+    from fmri_tpu.checkpoints import restore_checkpoint, save_checkpoint
+
+    step = make_vgan_cognitive_step(CFG, stage=3, donate=False)
+    mesh = make_mesh(model=2)
+    args = (jnp.float32(0.35), jnp.float32(0.68), jnp.float32(1e-6))
+
+    def batch(i):
+        k1, k2 = jax.random.split(jax.random.key(100 + i))
+        b = {"fmri": jax.random.normal(k1, (B, CFG.model.num_voxels)),
+             "image": jax.random.uniform(
+                 k2, (B, CFG.model.image_size, CFG.model.image_size, 3),
+                 minval=-1.0, maxval=1.0)}
+        return shard_batch(b, mesh, voxel_tp=True)
+
+    def run(state, lo, hi):
+        for i in range(lo, hi):
+            state, _ = step.train_step(state, batch(i),
+                                       jax.random.key(200 + i), *args)
+        return state
+
+    def fresh():
+        return shard_state(_cog_state3(7), mesh, voxel_tp=True,
+                           decoder_tp=True)
+
+    s_full = run(fresh(), 0, 4)  # uninterrupted
+
+    s_half = run(fresh(), 0, 2)
+    save_checkpoint(str(tmp_path), 1, s_half, {"rng_seed": 7})
+    restored, meta = restore_checkpoint(str(tmp_path), _cog_state3(7))
+    assert meta["epoch"] == 1 and int(restored.step) == 2
+    # restored tree is host-resident and fully gathered; re-shard and resume
+    resumed = shard_state(restored, mesh, voxel_tp=True, decoder_tp=True)
+    assert "model" in str(
+        resumed.params["decoder"]["Dense_0"]["kernel"].sharding.spec)
+    assert "model" in str(
+        resumed.opt_state["decoder"].sq_avg["Dense_0"]["kernel"].sharding.spec)
+    s_resumed = run(resumed, 2, 4)
+
+    flat_a, tree_a = jax.tree_util.tree_flatten(
+        {"params": s_full.params, "batch_stats": s_full.batch_stats,
+         "opt_state": s_full.opt_state})
+    flat_b, tree_b = jax.tree_util.tree_flatten(
+        {"params": s_resumed.params, "batch_stats": s_resumed.batch_stats,
+         "opt_state": s_resumed.opt_state})
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s_resumed.step) == int(s_full.step) == 4
+
+
 def test_wae_vgan_step_data_parallel_matches_single_device():
     """WAE/Dual-GAN (image D + latent D, decoder moment-decay quirk) under
     8-way DP: losses and every group's update match single-device."""
