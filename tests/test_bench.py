@@ -33,3 +33,55 @@ def _small_batch(monkeypatch):
 def test_suite_builder_runs(name, fn):
     v = fn("tiny")
     assert v > 0, f"{name} reported non-positive throughput: {v}"
+
+
+class TestWarmTouch:
+    """The pre-measurement device warm-touch (bench._warm_tpu): a stalled
+    first TPU contact is retried from a killable child process."""
+
+    def test_retries_after_stall_then_stops_on_success(self, monkeypatch):
+        import subprocess
+
+        monkeypatch.delenv("FMRI_TPU_PLATFORM", raising=False)
+        monkeypatch.delenv("FMRI_TPU_BENCH_NO_WARM", raising=False)
+        calls = []
+
+        def fake_run(cmd, timeout, **kw):
+            calls.append(timeout)
+            if len(calls) == 1:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+            return None
+
+        # _warm_tpu imports subprocess locally; patching the module object's
+        # attribute covers it
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        bench._warm_tpu(attempts=3, timeout_s=7)
+        assert calls == [7, 7]  # one stall, one success, no third attempt
+
+    def test_skips_on_cpu_platform_and_optout(self, monkeypatch):
+        import subprocess as sp
+
+        def boom(*a, **kw):  # pragma: no cover - must not be reached
+            raise AssertionError("warm-touch ran despite skip condition")
+
+        monkeypatch.setattr(sp, "run", boom)
+        monkeypatch.setenv("FMRI_TPU_PLATFORM", "cpu")
+        bench._warm_tpu()
+        monkeypatch.delenv("FMRI_TPU_PLATFORM")
+        monkeypatch.setenv("FMRI_TPU_BENCH_NO_WARM", "1")
+        bench._warm_tpu()
+
+    def test_gives_up_after_attempts_without_raising(self, monkeypatch):
+        import subprocess as sp
+
+        calls = []
+
+        def always_stall(cmd, timeout, **kw):
+            calls.append(timeout)
+            raise sp.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(sp, "run", always_stall)
+        monkeypatch.delenv("FMRI_TPU_PLATFORM", raising=False)
+        monkeypatch.delenv("FMRI_TPU_BENCH_NO_WARM", raising=False)
+        bench._warm_tpu(attempts=2, timeout_s=3)  # non-fatal by contract
+        assert calls == [3, 3]
